@@ -1,0 +1,158 @@
+"""Stream filters (SURVEY.md §2.2 V16).
+
+The reference supports FlateDecode (whole-buffer zlib inflate,
+src/image.rs:134-139) and DCTDecode (JPEG, src/image.rs:140-143).
+LZWDecode is absent from the reference but named by BASELINE.json's
+north_star, so it is implemented fresh from the public PDF 1.7 spec
+(§3.3.3): variable-width codes 9->12 bits, clear code 256, EOD 257,
+EarlyChange=1 by default.
+
+Safety addition over the reference (which inflates unboundedly): a
+decompression output cap guards against zip bombs so one hostile
+document cannot OOM a worker (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from .errors import FilterError
+
+# 256 MiB decompressed cap per stream: far above any sane content
+# stream, far below a worker heap. One hostile row must not OOM a task.
+MAX_DECODED_BYTES = 256 * 1024 * 1024
+
+
+def flate_decode(data: bytes, max_bytes: int = MAX_DECODED_BYTES) -> bytes:
+    try:
+        out = zlib.decompressobj().decompress(data, max_bytes)
+    except zlib.error as e:
+        raise FilterError(f"FlateDecode failed: {e}") from e
+    if len(out) >= max_bytes:
+        raise FilterError("FlateDecode output exceeds safety cap")
+    return out
+
+
+def lzw_decode(
+    data: bytes, early_change: int = 1, max_bytes: int = MAX_DECODED_BYTES
+) -> bytes:
+    """PDF LZWDecode (spec §3.3.3). Codes start at 9 bits; the table
+    grows to 4096 entries; width bumps happen one code early when
+    ``early_change`` is 1 (the spec default)."""
+    CLEAR, EOD = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    width = 9
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                prev = None
+                width = 9
+                continue
+            if code == EOD:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise FilterError(f"LZWDecode: invalid code {code}")
+            out += entry
+            if len(out) > max_bytes:
+                raise FilterError("LZWDecode output exceeds safety cap")
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Encoder counterpart (used only to build test fixtures)."""
+    CLEAR, EOD = 256, 257
+    out_bits: list[tuple[int, int]] = []
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits.append((CLEAR, width))
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        out_bits.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        if next_code + early_change - 1 >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            out_bits.append((CLEAR, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((EOD, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, wdt in out_bits:
+        acc = (acc << wdt) | code
+        nbits += wdt
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def dct_decode(data: bytes):
+    """DCTDecode (JPEG) — STUB.
+
+    The reference decodes JPEG via the ``jpeg_decoder`` crate
+    (src/image.rs:140-143). This container has no JPEG codec (no
+    image/audio libs), so per the build contract the decode step is
+    stubbed while the surrounding plumbing (param extraction, schema,
+    routing) stays real and tested.
+    """
+    raise NotImplementedError(
+        "DCTDecode is stubbed: no JPEG codec available in this environment"
+    )
+
+
+_FILTERS = {
+    "FlateDecode": flate_decode,
+    "LZWDecode": lzw_decode,
+}
+
+
+def decode_stream(data: bytes, filter_names: list[str], parms: list[dict] | None = None) -> bytes:
+    """Apply a filter chain to raw stream bytes.
+
+    ``filter_names`` comes from /Filter (name or array of names);
+    ``parms`` from /DecodeParms. Unknown filters raise FilterError
+    (mirrors Error::UnsupporttedFilter, src/image.rs:112-130).
+    """
+    out = data
+    for i, name in enumerate(filter_names):
+        parm = (parms[i] if parms and i < len(parms) else None) or {}
+        if name == "LZWDecode":
+            out = lzw_decode(out, early_change=int(parm.get("EarlyChange", 1)))
+        elif name in _FILTERS:
+            out = _FILTERS[name](out)
+        elif name == "DCTDecode":
+            out = dct_decode(out)
+        else:
+            raise FilterError("filter is not supportted")
+    return out

@@ -1,0 +1,213 @@
+"""DOM-heuristic HTML boilerplate stripping (BASELINE.json north_star).
+
+Absent from the reference (a PDF-only parser); designed fresh here as
+the HTML arm of the extraction engine. No external parser libraries —
+a small, deterministic tag scanner with explicit rules so extracted
+text is byte-reproducible:
+
+- suppressed containers (content dropped entirely): script, style,
+  noscript, template, head, title, nav, footer, aside, iframe, svg,
+  form, button, select, option
+- "line" blocks — each emits exactly one output line, even when empty:
+  p, h1..h6, li, pre, blockquote, th, td, caption, dt, dd, figcaption,
+  summary
+- container blocks (div, article, section, main, ul, ol, table, tr,
+  header, body, ...) flush any pending inline text as a line
+- <br> flushes the current line
+- whitespace-only text nodes are dropped; other text nodes are kept
+  verbatim (entities decoded via html.unescape)
+- output = lines joined with "\\n", encoded UTF-8
+
+Comments (<!-- -->), doctype and CDATA are skipped. Unclosed tags
+degrade gracefully (suppression depth never goes negative).
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+
+_SUPPRESS = {
+    "script",
+    "style",
+    "noscript",
+    "template",
+    "head",
+    "title",
+    "nav",
+    "footer",
+    "aside",
+    "iframe",
+    "svg",
+    "form",
+    "button",
+    "select",
+    "option",
+}
+
+_LINE_BLOCKS = {
+    "p",
+    "h1",
+    "h2",
+    "h3",
+    "h4",
+    "h5",
+    "h6",
+    "li",
+    "pre",
+    "blockquote",
+    "th",
+    "td",
+    "caption",
+    "dt",
+    "dd",
+    "figcaption",
+    "summary",
+}
+
+_CONTAINER_BLOCKS = {
+    "div",
+    "article",
+    "section",
+    "main",
+    "header",
+    "body",
+    "html",
+    "ul",
+    "ol",
+    "dl",
+    "table",
+    "thead",
+    "tbody",
+    "tfoot",
+    "tr",
+    "figure",
+    "details",
+    "hr",
+    "address",
+    "fieldset",
+}
+
+# raw-text elements: content runs to the matching close tag, no nesting
+_RAWTEXT = {"script", "style", "textarea", "title"}
+
+_TAG_NAME_RE = re.compile(rb"[a-zA-Z][a-zA-Z0-9-]*")
+
+
+def _decode_bytes(buf: bytes) -> str:
+    try:
+        return buf.decode("utf-8")
+    except UnicodeDecodeError:
+        return buf.decode("latin-1")
+
+
+def extract_html_text(buf: bytes) -> tuple[bytes, list[dict]]:
+    """Main-content text from an HTML payload.
+
+    Returns ``(text_bytes, spans)``; spans are per-line
+    ``{start, end, kind: "block", page: 0}`` byte ranges into the output.
+    """
+    lines: list[str] = []
+    cur: list[str] = []
+    suppress_depth = 0
+
+    def flush(force: bool) -> None:
+        text = "".join(cur)
+        cur.clear()
+        if text or force:
+            lines.append(text)
+
+    i = 0
+    n = len(buf)
+    while i < n:
+        lt = buf.find(b"<", i)
+        if lt == -1:
+            if suppress_depth == 0:
+                chunk = buf[i:n]
+                if chunk.strip():
+                    cur.append(_htmlmod.unescape(_decode_bytes(chunk)))
+            break
+        if lt > i and suppress_depth == 0:
+            chunk = buf[i:lt]
+            if chunk.strip():
+                cur.append(_htmlmod.unescape(_decode_bytes(chunk)))
+        i = lt
+        nxt = buf[lt + 1 : lt + 2]
+        if not (nxt.isalpha() or nxt in (b"/", b"!", b"?")):
+            # "a < b": a "<" not opening a tag is literal text
+            if suppress_depth == 0:
+                cur.append("<")
+            i = lt + 1
+            continue
+        # comment / doctype / cdata
+        if buf.startswith(b"<!--", i):
+            end = buf.find(b"-->", i + 4)
+            i = n if end == -1 else end + 3
+            continue
+        if buf.startswith(b"<![CDATA[", i):
+            end = buf.find(b"]]>", i + 9)
+            i = n if end == -1 else end + 3
+            continue
+        if buf.startswith(b"<!", i) or buf.startswith(b"<?", i):
+            end = buf.find(b">", i + 2)
+            i = n if end == -1 else end + 1
+            continue
+        gt = buf.find(b">", i + 1)
+        if gt == -1:
+            break  # truncated tag: drop the tail
+        tag_body = buf[i + 1 : gt]
+        i = gt + 1
+        closing = tag_body.startswith(b"/")
+        if closing:
+            tag_body = tag_body[1:]
+        m = _TAG_NAME_RE.match(tag_body)
+        if m is None:
+            # stray "<" followed by non-tag (e.g. "a < b"): treat as text
+            if suppress_depth == 0:
+                cur.append(_htmlmod.unescape(_decode_bytes(buf[lt : gt + 1])))
+            continue
+        name = m.group(0).decode("ascii").lower()
+        self_closing = tag_body.rstrip().endswith(b"/")
+
+        if not closing and name in _RAWTEXT:
+            close = re.compile(
+                rb"</" + name.encode() + rb"\s*>", re.IGNORECASE
+            ).search(buf, i)
+            # rawtext content is dropped unless the element is contentful
+            # (textarea/title are suppressed anyway)
+            i = n if close is None else close.end()
+            continue
+
+        if name in _SUPPRESS:
+            if closing:
+                suppress_depth = max(0, suppress_depth - 1)
+            elif not self_closing:
+                suppress_depth += 1
+            continue
+        if suppress_depth > 0:
+            continue
+        if name == "br":
+            flush(force=True) if cur else lines.append("")
+            continue
+        if name in _LINE_BLOCKS:
+            if closing:
+                flush(force=True)  # empty line block -> empty line
+            else:
+                flush(force=False)
+            continue
+        if name in _CONTAINER_BLOCKS:
+            flush(force=False)
+            continue
+        # inline tag (a, span, b, i, em, strong, ...): no line effect
+
+    flush(force=False)
+
+    text = "\n".join(lines)
+    data = text.encode("utf-8")
+    spans: list[dict] = []
+    pos = 0
+    for line in lines:
+        blen = len(line.encode("utf-8"))
+        spans.append({"start": pos, "end": pos + blen, "kind": "block", "page": 0})
+        pos += blen + 1
+    return data, spans

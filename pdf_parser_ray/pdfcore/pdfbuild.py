@@ -1,0 +1,298 @@
+"""Deterministic synthetic PDF builder (FIXTURES.md §2).
+
+Hand-rolled byte-level writer producing documents inside the engine's
+(and reference's) supported subset: ``%PDF-1.4`` header, classic xref
+with a single subsection, all referenced entries type ``n``, streams
+with direct or indirect /Length, Flate/LZW/raw content streams.
+
+Used for pytest golden fixtures AND for the synthetic Common-Crawl-style
+pages table (sources/synth.py): the PDF representation varies per doc
+(literal Tj / split TJ array / hex strings / ToUnicode-mapped codes /
+Flate / LZW / indirect Length) without changing the extracted text, so
+the driver's oracle comparison exercises every byte path.
+
+Everything here is pure and deterministic — same inputs, same bytes.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from .filters import lzw_encode
+
+
+def escape_literal_string(data: bytes) -> bytes:
+    """Escape for a PDF literal string: backslash, parens, CR/LF."""
+    out = bytearray()
+    for b in data:
+        if b in (0x5C, 0x28, 0x29):
+            out.append(0x5C)
+            out.append(b)
+        elif b == 0x0A:
+            out += b"\\n"
+        elif b == 0x0D:
+            out += b"\\r"
+        else:
+            out.append(b)
+    return bytes(out)
+
+
+class _Writer:
+    """Sequential object writer tracking byte offsets for the xref."""
+
+    def __init__(self):
+        self.parts: list[bytes] = [b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"]
+        self.pos = len(self.parts[0])
+        self.offsets: dict[int, int] = {}
+        self.next_num = 1
+
+    def alloc(self) -> int:
+        num = self.next_num
+        self.next_num += 1
+        return num
+
+    def add(self, num: int, body: bytes) -> None:
+        obj = b"%d 0 obj\n" % num + body + b"\nendobj\n"
+        self.offsets[num] = self.pos
+        self.parts.append(obj)
+        self.pos += len(obj)
+
+    def add_stream(self, num: int, dict_extra: bytes, data: bytes,
+                   length_ref: int | None = None) -> None:
+        if length_ref is None:
+            length_entry = b"/Length %d" % len(data)
+        else:
+            length_entry = b"/Length %d 0 R" % length_ref
+        body = (
+            b"<< " + length_entry + (b" " + dict_extra if dict_extra else b"")
+            + b" >>\nstream\n" + data + b"\nendstream"
+        )
+        self.add(num, body)
+
+    def finish(self, root_num: int) -> bytes:
+        xref_pos = self.pos
+        count = self.next_num
+        xref = [b"xref\n", b"0 %d\n" % count, b"0000000000 65535 f\r\n"]
+        for num in range(1, count):
+            xref.append(b"%010d %05d n\r\n" % (self.offsets[num], 0))
+        trailer = (
+            b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (count, root_num, xref_pos)
+        )
+        return b"".join(self.parts) + b"".join(xref) + trailer
+
+
+def _cmap_stream(chars: list[str]) -> tuple[bytes, dict[str, int]]:
+    """A ToUnicode CMap mapping code i (1 byte) -> chars[i]; returns
+    (cmap bytes, char->code map). Only BMP chars supported (enough for
+    the synthetic corpus)."""
+    assert len(chars) <= 256
+    enc = {c: i for i, c in enumerate(chars)}
+    lines = [
+        b"/CIDInit /ProcSet findresource begin\n",
+        b"12 dict begin\nbegincmap\n",
+        b"/CMapName /Custom def\n/CMapType 2 def\n",
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n",
+        b"%d beginbfchar\n" % len(chars),
+    ]
+    for c, i in enc.items():
+        lines.append(b"<%02X> <%04X>\n" % (i, ord(c)))
+    lines.append(b"endbfchar\nendcmap\nend\nend\n")
+    return b"".join(lines), enc
+
+
+def _content_ops(lines: list[bytes], show_variant: str,
+                 enc: dict[str, int] | None = None) -> bytes:
+    """BT..ET operator sequence showing ``lines`` (one Td+show per line)."""
+    ops = [b"BT\n/F1 12 Tf\n72 720 Td\n"]
+    first = True
+    for line in lines:
+        if not first:
+            ops.append(b"0 -14 Td\n")
+        first = False
+        if enc is not None:
+            codes = bytes(enc[c] for c in line.decode("utf-8"))
+            ops.append(b"<" + codes.hex().upper().encode() + b"> Tj\n")
+        elif show_variant == "hex":
+            ops.append(b"<" + line.hex().encode() + b"> Tj\n")
+        elif show_variant == "tj_split" and len(line) > 8:
+            third = len(line) // 3
+            a, b_, c = line[:third], line[third : 2 * third], line[2 * third :]
+            ops.append(
+                b"[ (" + escape_literal_string(a) + b") -2 ("
+                + escape_literal_string(b_) + b") 3 ("
+                + escape_literal_string(c) + b") ] TJ\n"
+            )
+        else:
+            ops.append(b"(" + escape_literal_string(line) + b") Tj\n")
+    ops.append(b"ET")
+    return b"".join(ops)
+
+
+def build_text_pdf(
+    text: bytes | str,
+    *,
+    page_size: int = 40,
+    show_variant: str = "tj",         # tj | tj_split | hex | cmap
+    stream_filter: str = "none",      # none | flate | lzw
+    indirect_length: bool = False,
+) -> bytes:
+    """A PDF whose extracted text (textextract rules) is exactly ``text``.
+
+    ``text`` splits at \\n into lines; lines chunk into pages of
+    ``page_size``; extraction joins lines and pages back with \\n, so
+    the roundtrip is the identity for any variant combination.
+    """
+    if isinstance(text, str):
+        text = text.encode("utf-8")
+    lines = text.split(b"\n")
+    pages = [lines[i : i + page_size] for i in range(0, len(lines), page_size)] or [[b""]]
+
+    w = _Writer()
+    catalog = w.alloc()
+    pages_num = w.alloc()
+
+    enc = None
+    font_num = None
+    cmap_num = None
+    if show_variant == "cmap":
+        chars = sorted({c for line in lines for c in line.decode("utf-8")})
+        if len(chars) > 256:
+            raise ValueError("cmap variant supports <=256 distinct chars")
+        font_num = w.alloc()
+        cmap_num = w.alloc()
+        cmap_bytes, enc = _cmap_stream(chars)
+        w.add(
+            font_num,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/ToUnicode %d 0 R >>" % cmap_num,
+        )
+        w.add_stream(cmap_num, b"", cmap_bytes)
+
+    page_nums = []
+    for page_lines in pages:
+        page_num = w.alloc()
+        content_num = w.alloc()
+        length_num = w.alloc() if indirect_length else None
+
+        content = _content_ops(page_lines, show_variant, enc)
+        if stream_filter == "flate":
+            data = zlib.compress(content)
+            filt = b"/Filter /FlateDecode"
+        elif stream_filter == "lzw":
+            data = lzw_encode(content)
+            filt = b"/Filter /LZWDecode"
+        else:
+            data = content
+            filt = b""
+
+        if font_num is not None:
+            res = b"/Resources << /Font << /F1 %d 0 R >> >>" % font_num
+        else:
+            res = (
+                b"/Resources << /Font << /F1 << /Type /Font /Subtype /Type1 "
+                b"/BaseFont /Helvetica >> >> >>"
+            )
+        w.add(
+            page_num,
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] %s "
+            b"/Contents %d 0 R >>" % (pages_num, res, content_num),
+        )
+        w.add_stream(content_num, filt, data, length_ref=length_num)
+        if length_num is not None:
+            w.add(length_num, b"%d" % len(data))
+        page_nums.append(page_num)
+
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    w.add(catalog, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    w.add(
+        pages_num,
+        b"<< /Type /Pages /Kids [ %s ] /Count %d >>" % (kids, len(page_nums)),
+    )
+    return w.finish(catalog)
+
+
+def build_image_pdf(images: list[dict]) -> bytes:
+    """One page with image XObjects (FIXTURES.md pdf_images).
+
+    Each image dict: {width, height, colorspace: "DeviceRGB"|"DeviceGray",
+    pixels: bytes (raw), smask: bool} — pixels are Flate-compressed.
+    """
+    w = _Writer()
+    catalog = w.alloc()
+    pages_num = w.alloc()
+    page_num = w.alloc()
+    content_num = w.alloc()
+
+    xobj_entries = []
+    for idx, img in enumerate(images):
+        img_num = w.alloc()
+        smask_clause = b""
+        if img.get("smask_pixels") is not None:
+            smask_num = w.alloc()
+            w.add_stream(
+                smask_num,
+                b"/Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode"
+                % (img["width"], img["height"]),
+                zlib.compress(img["smask_pixels"]),
+            )
+            smask_clause = b" /SMask %d 0 R" % smask_num
+            xobj_entries.append((b"/Im%dm" % idx, smask_num))
+        w.add_stream(
+            img_num,
+            b"/Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /%s /BitsPerComponent 8 /Filter /FlateDecode%s"
+            % (
+                img["width"],
+                img["height"],
+                img["colorspace"].encode(),
+                smask_clause,
+            ),
+            zlib.compress(img["pixels"]),
+        )
+        xobj_entries.append((b"/Im%d" % idx, img_num))
+
+    xobj_dict = b" ".join(b"%s %d 0 R" % (n, num) for n, num in xobj_entries)
+    w.add(
+        page_num,
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /XObject << %s >> >> /Contents %d 0 R >>"
+        % (pages_num, xobj_dict, content_num),
+    )
+    w.add_stream(content_num, b"", b"q Q")
+    w.add(catalog, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    w.add(
+        pages_num,
+        b"<< /Type /Pages /Kids [ %d 0 R ] /Count 1 >>" % page_num,
+    )
+    return w.finish(catalog)
+
+
+# -- malformed fixtures (error channel) --
+
+def build_bad_header() -> bytes:
+    good = build_text_pdf(b"x")
+    return b"%QQF-1.4" + good[8:]
+
+
+def build_no_eof() -> bytes:
+    good = build_text_pdf(b"x")
+    return good.replace(b"%%EOF", b"%%EOG")
+
+
+def build_truncated(frac: float = 0.6) -> bytes:
+    good = build_text_pdf(b"hello truncated world")
+    return good[: int(len(good) * frac)]
+
+
+def build_free_entry_deref() -> bytes:
+    """Catalog's xref entry rewritten to type ``f`` -> quirk Q3 error path."""
+    good = build_text_pdf(b"x")
+    xref_at = good.rfind(b"xref\n0 ")  # table start, not "startxref"
+    # entry lines start after "xref\n0 N\n"; object 1 is the 2nd line
+    header_end = good.index(b"\n", good.index(b"\n", xref_at) + 1) + 1
+    entry1 = header_end + 20
+    line = good[entry1 : entry1 + 20]
+    assert line.endswith(b" n\r\n")
+    return good[:entry1] + line[:17] + b"f" + line[18:] + good[entry1 + 20 :]

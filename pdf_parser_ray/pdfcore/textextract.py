@@ -1,0 +1,445 @@
+"""PDF text extraction: content streams, text operators, ToUnicode CMaps.
+
+This path is ABSENT from the reference (it extracts images only,
+src/lib.rs:60-72) but mandated by BASELINE.json's north_star as part of
+the byte-to-text core: content-stream tokenization of BT..ET / Tj / TJ /
+Td / TD / T* / ' / " operators plus CMap/ToUnicode glyph-to-Unicode
+mapping. It is designed fresh from the public PDF 1.7 spec in the same
+structural style as the reference's lexer (string/hex/name scanning
+reuses the byte-exact kernels from lexer.py, so quirks Q1/Q2/Q5 apply
+to content-stream strings too).
+
+Deterministic assembly rule (normative for this engine's goldens):
+- each show op (Tj / TJ / ' / ") appends decoded bytes; TJ ignores its
+  kerning numbers
+- Td / TD / T* / ' / " and a new BT emit b"\\n" iff text was shown since
+  the last break
+- pages are joined with b"\\n"
+- with a /ToUnicode CMap the string's code units map to Unicode encoded
+  as UTF-8; without one, string bytes pass through unchanged
+"""
+
+from __future__ import annotations
+
+from .errors import TextExtractError
+from .lexer import (
+    _HEX_DIGITS,
+    _NON_REGULAR,
+    _NUMBER_CHARS,
+    parse_hex_string,
+    parse_name,
+    parse_string,
+)
+from .objects import TAG, VAL, ensure_dict, ensure_iobj, ensure_ref, ensure_stream
+
+_WS = frozenset(b"\x00\t\n\x0c\r ")
+
+# content token kinds
+C_NUM = "num"
+C_STR = "str"
+C_HEX = "hex"
+C_NAME = "name"
+C_ARR_START = "["
+C_ARR_END = "]"
+C_DICT_START = "<<"
+C_DICT_END = ">>"
+C_OP = "op"
+
+
+class ContentLexer:
+    """Tokenizer for content streams: operands + operator keywords.
+
+    Unlike the object lexer (object-bounded, halts at endobj/stream —
+    quirk Q11), content streams are an open-ended operator sequence, so
+    any run of regular characters that is not a number is an operator
+    token. Inline images (BI..ID..EI) are skipped as opaque bytes.
+    """
+
+    __slots__ = ("buf", "i", "n")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.i = 0
+        self.n = len(buf)
+
+    def tokens(self):
+        buf, n = self.buf, self.n
+        while self.i < n:
+            b = buf[self.i]
+            if b in _WS:
+                self.i += 1
+                continue
+            if b == 0x25:  # % comment to EOL
+                while self.i < n and buf[self.i] not in (10, 13):
+                    self.i += 1
+                continue
+            if b in _NUMBER_CHARS:
+                start = self.i
+                while self.i < n and buf[self.i] in _NUMBER_CHARS:
+                    self.i += 1
+                s = buf[start : self.i].decode("ascii")
+                try:
+                    yield (C_NUM, int(s))
+                except ValueError:
+                    try:
+                        yield (C_NUM, float(s))
+                    except ValueError:
+                        raise TextExtractError(
+                            "cannot parse as number", start
+                        ) from None
+                continue
+            if b == 0x2F:  # /name
+                start = self.i
+                self.i += 1
+                while self.i < n and buf[self.i] not in _NON_REGULAR:
+                    self.i += 1
+                try:
+                    yield (C_NAME, parse_name(buf[start + 1 : self.i]))
+                except ValueError:
+                    raise TextExtractError("cannot parse as name", start) from None
+                continue
+            if b == 0x28:  # (string) with balanced parens + escapes
+                start = self.i
+                self.i += 1
+                prev_backslash = False
+                depth = 0
+                while self.i < n:
+                    c = buf[self.i]
+                    if not prev_backslash and depth == 0 and c == 0x29:
+                        break
+                    if not prev_backslash and c == 0x28:
+                        depth += 1
+                    elif not prev_backslash and c == 0x29:
+                        depth -= 1
+                    prev_backslash = not prev_backslash and c == 0x5C
+                    self.i += 1
+                if self.i >= n:
+                    raise TextExtractError("unterminated string", start)
+                body = parse_string(buf[start + 1 : self.i])
+                self.i += 1
+                yield (C_STR, body)
+                continue
+            if b == 0x3C:  # << or <hex>
+                if self.i + 1 < n and buf[self.i + 1] == 0x3C:
+                    self.i += 2
+                    yield (C_DICT_START, None)
+                    continue
+                start = self.i
+                self.i += 1
+                hstart = self.i
+                while self.i < n and buf[self.i] in _HEX_DIGITS:
+                    self.i += 1
+                if self.i >= n or buf[self.i] != 0x3E:
+                    raise TextExtractError("unterminated hex string", start)
+                body = parse_hex_string(buf[hstart : self.i])
+                self.i += 1
+                yield (C_HEX, body)
+                continue
+            if b == 0x3E:  # >>
+                if self.i + 1 < n and buf[self.i + 1] == 0x3E:
+                    self.i += 2
+                    yield (C_DICT_END, None)
+                    continue
+                raise TextExtractError("unexpected `>`", self.i)
+            if b == 0x5B:
+                self.i += 1
+                yield (C_ARR_START, None)
+                continue
+            if b == 0x5D:
+                self.i += 1
+                yield (C_ARR_END, None)
+                continue
+            if b not in _NON_REGULAR:
+                start = self.i
+                while self.i < n and buf[self.i] not in _NON_REGULAR:
+                    self.i += 1
+                yield (C_OP, buf[start : self.i].decode("latin-1"))
+                continue
+            # unknown delimiter (e.g. { } in type-4 functions): 1-byte op
+            self.i += 1
+            yield (C_OP, chr(b))
+
+    def skip_inline_image(self) -> None:
+        """After a BI..ID, advance past the binary data to EI."""
+        buf, n = self.buf, self.n
+        i = self.i
+        while i + 1 < n:
+            if buf[i] == 0x45 and buf[i + 1] == 0x49:  # EI
+                before_ws = i == 0 or buf[i - 1] in _WS
+                after_ws = i + 2 >= n or buf[i + 2] in _WS
+                if before_ws and after_ws:
+                    self.i = i + 2
+                    return
+            i += 1
+        self.i = n
+
+
+class ToUnicodeCMap:
+    """Parsed /ToUnicode CMap: code (int, length) -> unicode str.
+
+    Supports begincodespacerange, beginbfchar, beginbfrange (both the
+    <lo> <hi> <dst> and <lo> <hi> [<d1>...] forms), per PDF 1.7 §5.9.
+    """
+
+    __slots__ = ("single", "ranges", "code_lengths")
+
+    def __init__(self, data: bytes):
+        self.single: dict[tuple[int, int], str] = {}
+        self.ranges: list[tuple[int, int, int, str]] = []  # (lo, hi, length, base_dst)
+        lengths: set[int] = set()
+
+        toks = list(ContentLexer(data).tokens())
+        i = 0
+        n = len(toks)
+        while i < n:
+            kind, val = toks[i]
+            if kind == C_OP and val == "begincodespacerange":
+                i += 1
+                while i < n and toks[i][0] == C_HEX:
+                    lengths.add(len(toks[i][1]))
+                    i += 2
+                continue
+            if kind == C_OP and val == "beginbfchar":
+                i += 1
+                while i + 1 < n and toks[i][0] == C_HEX and toks[i + 1][0] == C_HEX:
+                    src, dst = toks[i][1], toks[i + 1][1]
+                    lengths.add(len(src))
+                    self.single[(int.from_bytes(src, "big"), len(src))] = dst.decode(
+                        "utf-16-be", "replace"
+                    )
+                    i += 2
+                continue
+            if kind == C_OP and val == "beginbfrange":
+                i += 1
+                while (
+                    i + 2 < n
+                    and toks[i][0] == C_HEX
+                    and toks[i + 1][0] == C_HEX
+                ):
+                    lo_b, hi_b = toks[i][1], toks[i + 1][1]
+                    lo = int.from_bytes(lo_b, "big")
+                    hi = int.from_bytes(hi_b, "big")
+                    lengths.add(len(lo_b))
+                    third = toks[i + 2]
+                    if third[0] == C_HEX:
+                        self.ranges.append(
+                            (lo, hi, len(lo_b), third[1].decode("utf-16-be", "replace"))
+                        )
+                        i += 3
+                    elif third[0] == C_ARR_START:
+                        i += 3
+                        code = lo
+                        while i < n and toks[i][0] == C_HEX:
+                            self.single[(code, len(lo_b))] = toks[i][1].decode(
+                                "utf-16-be", "replace"
+                            )
+                            code += 1
+                            i += 1
+                        if i < n and toks[i][0] == C_ARR_END:
+                            i += 1
+                    else:
+                        break
+                continue
+            i += 1
+
+        self.code_lengths = sorted(lengths) or [1]
+
+    def map_bytes(self, data: bytes) -> str:
+        """Decode a show-string through the CMap; unmapped -> U+FFFD."""
+        out: list[str] = []
+        i = 0
+        n = len(data)
+        while i < n:
+            matched = False
+            for length in self.code_lengths:
+                if i + length > n:
+                    continue
+                code = int.from_bytes(data[i : i + length], "big")
+                hit = self.single.get((code, length))
+                if hit is not None:
+                    out.append(hit)
+                    i += length
+                    matched = True
+                    break
+                for lo, hi, rlen, base in self.ranges:
+                    if rlen == length and lo <= code <= hi:
+                        if base:
+                            mapped = base[:-1] + chr(ord(base[-1]) + (code - lo))
+                        else:
+                            mapped = ""
+                        out.append(mapped)
+                        i += length
+                        matched = True
+                        break
+                if matched:
+                    break
+            if not matched:
+                out.append("�")
+                i += self.code_lengths[0]
+        return "".join(out)
+
+
+class _Font:
+    __slots__ = ("cmap",)
+
+    def __init__(self, cmap: ToUnicodeCMap | None):
+        self.cmap = cmap
+
+
+def _page_fonts(doc, page, cmap_cache: dict | None = None) -> dict[str, _Font]:
+    """Resolve the page's /Resources /Font map to _Font objects.
+
+    ``cmap_cache`` maps ToUnicode stream bytes (hash) -> ToUnicodeCMap;
+    pass a per-actor dict to amortize CMap parsing across documents.
+    """
+    fonts: dict[str, _Font] = {}
+    node = page.node_dict
+    resources = node[VAL].get("Resources")
+    if resources is None:
+        return fonts
+    if resources[TAG] == "ref":
+        resources = ensure_iobj(doc.resolve(resources))[VAL]
+    font_map = ensure_dict(resources)[VAL].get("Font")
+    if font_map is None:
+        return fonts
+    if font_map[TAG] == "ref":
+        font_map = ensure_iobj(doc.resolve(font_map))[VAL]
+    for name, font_obj in ensure_dict(font_map)[VAL].items():
+        if font_obj[TAG] == "ref":
+            resolved = doc.resolve(font_obj)
+            font_dict = (
+                ensure_iobj(resolved)[VAL]
+                if resolved[TAG] == "iobj"
+                else resolved[VAL]
+            )
+        else:
+            font_dict = font_obj
+        cmap = None
+        tou = font_dict[VAL].get("ToUnicode") if font_dict[TAG] == "dict" else None
+        if tou is not None:
+            stream = doc.resolve(ensure_ref(tou))
+            data = doc.get_stream_decoded(ensure_stream(stream))
+            if cmap_cache is not None:
+                key = hash(data)
+                cmap = cmap_cache.get(key)
+                if cmap is None:
+                    cmap = ToUnicodeCMap(data)
+                    cmap_cache[key] = cmap
+            else:
+                cmap = ToUnicodeCMap(data)
+        fonts[name] = _Font(cmap)
+    return fonts
+
+
+def _page_content(doc, page) -> bytes:
+    """Concatenated, filter-decoded /Contents bytes for one page."""
+    contents = page.node_dict[VAL].get("Contents")
+    if contents is None:
+        return b""
+    if contents[TAG] == "array":
+        parts = []
+        for el in contents[VAL]:
+            stream = doc.resolve(ensure_ref(el))
+            parts.append(doc.get_stream_decoded(ensure_stream(stream)))
+        return b"\n".join(parts)
+    stream = doc.resolve(ensure_ref(contents))
+    return doc.get_stream_decoded(ensure_stream(stream))
+
+
+def extract_page_text(doc, page, cmap_cache: dict | None = None) -> bytes:
+    """Run the text operators of one page; returns UTF-8-ish bytes."""
+    content = _page_content(doc, page)
+    if not content:
+        return b""
+    fonts = _page_fonts(doc, page, cmap_cache)
+
+    out = bytearray()
+    stack: list = []
+    font: _Font | None = None
+    shown_since_break = False
+
+    def show(payload: bytes) -> None:
+        nonlocal shown_since_break
+        if font is not None and font.cmap is not None:
+            out.extend(font.cmap.map_bytes(payload).encode("utf-8"))
+        else:
+            out.extend(payload)
+        shown_since_break = True
+
+    def line_break() -> None:
+        nonlocal shown_since_break
+        if shown_since_break:
+            out.extend(b"\n")
+        shown_since_break = False
+
+    lexer = ContentLexer(content)
+    arr: list | None = None
+    for kind, val in lexer.tokens():
+        if kind == C_ARR_START:
+            arr = []
+            continue
+        if kind == C_ARR_END:
+            stack.append(arr if arr is not None else [])
+            arr = None
+            continue
+        if arr is not None and kind in (C_NUM, C_STR, C_HEX, C_NAME):
+            arr.append((kind, val))
+            continue
+        if kind in (C_NUM, C_STR, C_HEX, C_NAME, C_DICT_START, C_DICT_END):
+            stack.append((kind, val))
+            continue
+        # operator
+        if val == "Tj":
+            if stack and stack[-1][0] in (C_STR, C_HEX):
+                show(stack[-1][1])
+        elif val == "TJ":
+            if stack and isinstance(stack[-1], list):
+                for k, v in stack[-1]:
+                    if k in (C_STR, C_HEX):
+                        show(v)
+        elif val in ("Td", "TD", "T*"):
+            line_break()
+        elif val == "'":
+            line_break()
+            if stack and stack[-1][0] in (C_STR, C_HEX):
+                show(stack[-1][1])
+        elif val == '"':
+            line_break()
+            if stack and stack[-1][0] in (C_STR, C_HEX):
+                show(stack[-1][1])
+        elif val == "Tf":
+            if len(stack) >= 2 and stack[-2][0] == C_NAME:
+                font = fonts.get(stack[-2][1])
+        elif val == "BT":
+            line_break()
+        elif val == "BI":
+            lexer.skip_inline_image()
+        stack.clear()
+    return bytes(out)
+
+
+def extract_text(doc, cmap_cache: dict | None = None) -> tuple[bytes, list[dict]]:
+    """Document text + per-page spans.
+
+    Returns ``(text_bytes, spans)`` where spans are
+    ``{start, end, kind: "page", page}`` byte ranges into the output.
+    Pages are joined with a single b"\\n".
+    """
+    parts: list[bytes] = []
+    spans: list[dict] = []
+    pos = 0
+    for page in doc.pages:
+        text = extract_page_text(doc, page, cmap_cache)
+        if parts:
+            pos += 1  # joining newline
+        spans.append(
+            {
+                "start": pos,
+                "end": pos + len(text),
+                "kind": "page",
+                "page": page.page_number,
+            }
+        )
+        pos += len(text)
+        parts.append(text)
+    return b"\n".join(parts), spans
