@@ -1,16 +1,21 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes every implemented operator/pipeline from
+SURVEY.md §2 (plus the large-scale dedup/similarity/text-analysis
+mandates); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
+SQL-expressible query (keys absent here get the driver's weaker
+rows-only check; those are noted ``# rows-only`` below).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() anywhere in the import path or callables.
+
+Conventions shared with the oracles:
+- money/value sums are integer cents via ``floor(x*100 + 0.5)``
+  (order-independent, bit-exact across engines)
+- aggregate outputs are BIGINT-cast in SQL so schemas match Arrow int64
+- dup corpora are synthesized with SQL-expressible transforms so the
+  oracle can rebuild them (see pipelines/dedup.py, similarity.py)
 """
 
 from __future__ import annotations
@@ -18,27 +23,294 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+# -- helpers ----------------------------------------------------------------
+
+
+def _extracted(sf_dir: str):
+    from pdf_parser_ray.pipelines.extract_pipeline import build_extract_ds
+    from pdf_parser_ray.sources.synth import read_pages
+
+    return build_extract_ds(read_pages(sf_dir))
+
+
+def _doc_id_col(urls: list[str]) -> pa.Array:
+    return pa.array([int(u.rsplit("/", 1)[1]) for u in urls], type=pa.int64())
+
+
+def _extract_text_of_kind(sf_dir: str, kind: str):
+    ds = _extracted(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], kind))
+        return pa.table(
+            {
+                "doc_id": _doc_id_col(t["url"].to_pylist()),
+                "text": t["text"].cast(pa.large_string()).cast(pa.string()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+# -- driver contract --------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: synth pages -> route -> extract."""
+    return _extracted(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdf_parser_ray.pipelines import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        textstats,
+    )
+    from ray.data.aggregate import Count, Sum
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def route_counts(sf_dir: str):
+        return (
+            _extracted(sf_dir)
+            .groupby("kind")
+            .aggregate(Count(alias_name="n"))
+        )
+
+    def extract_pdf_text(sf_dir: str):
+        return _extract_text_of_kind(sf_dir, "pdf")
+
+    def extract_html_text(sf_dir: str):
+        return _extract_text_of_kind(sf_dir, "html")
+
+    def extract_ok_by_kind(sf_dir: str):
+        ds = _extracted(sf_dir)
+
+        def partial(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "kind": t["kind"],
+                    "n_rows": pa.array([1] * len(t), pa.int64()),
+                    "n_ok": t["ok"].cast(pa.int64()),
+                }
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("kind")
+            .aggregate(Sum("n_rows", alias_name="n_rows"), Sum("n_ok", alias_name="n_ok"))
+        )
+
+    def extract_structure(sf_dir: str):
+        ds = _extracted(sf_dir)
+
+        def project(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["kind"], "pdf"))
+            return pa.table(
+                {
+                    "doc_id": _doc_id_col(t["url"].to_pylist()),
+                    "n_pages": t["n_pages"],
+                    "n_objects": t["n_objects"],
+                }
+            )
+
+        return ds.map_batches(project, batch_format="pyarrow")
+
+    return {
+        # extraction family (synthetic Common-Crawl-style pages table)
+        "route_counts": route_counts,
+        "extract_pdf_text": extract_pdf_text,
+        "extract_html_text": extract_html_text,
+        "extract_ok_by_kind": extract_ok_by_kind,
+        "extract_structure": extract_structure,
+        # relational / aggregation / windows
+        "doc_stats_by_lang": relational.doc_stats_by_lang,
+        "lineitem_agg": relational.lineitem_agg,
+        "orders_by_nation": relational.orders_by_nation,
+        "top_docs_by_chars": relational.top_docs_by_chars,
+        "events_hourly": relational.events_hourly,
+        "sessions_per_user": relational.sessions_per_user,
+        # text analysis
+        "token_counts": textstats.token_counts,
+        "quality_scores": textstats.quality_scores,
+        "lang_id": textstats.lang_id,                      # rows-only
+        "fingerprints": textstats.fingerprints,            # rows-only
+        # dedup
+        "exact_dedup_text": dedup.exact_dedup_text,
+        "exact_dedup_key": dedup.exact_dedup_key,
+        "minhash_exact_pairs": lambda sf: dedup.minhash_dup_pairs(sf, threshold=0.999),
+        "minhash_near_pairs": lambda sf: dedup.minhash_dup_pairs(sf, threshold=0.5),  # rows-only
+        "simhash_pairs": dedup.simhash_fingerprints,        # rows-only
+        # similarity / embeddings
+        "embedding_dup_pairs": similarity.embedding_dup_pairs,
+        "embedding_dup_pairs_lsh": similarity.lsh_bucketed_dup_pairs,  # rows-only
+        "ann_topk": similarity.ann_topk,
+        # multimodal (binary payload metadata; decode stubbed)
+        "media_meta": multimodal.media_meta,                # rows-only
+    }
+
+
+# SQL fragments shared by several oracles
+_DUP_CORPUS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string(
+           list_transform(string_split(text, ' '),
+             (x, i) -> CASE WHEN (i - 1) % 40 = 0
+                            THEN 'mutant' || CAST(i - 1 AS VARCHAR)
+                            ELSE x END),
+           ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 5
+)
+"""
+
+_EMB_CORPUS = """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           (x, i) -> CASE WHEN i = 1 THEN x * 1.01 + 0.001 ELSE x END) AS e
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "route_counts": """
+            SELECT CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN 'html'
+                   ELSE 'other' END AS kind,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+        """,
+        "extract_pdf_text": """
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        """,
+        "extract_html_text": """
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+        """,
+        "extract_ok_by_kind": """
+            SELECT CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN 'html'
+                   ELSE 'other' END AS kind,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END) AS BIGINT) AS n_ok
+            FROM documents GROUP BY 1
+        """,
+        "extract_structure": """
+            SELECT doc_id,
+                   CAST(1 AS INTEGER) AS n_pages,
+                   CAST(5 + CASE WHEN (doc_id // 3) % 2 = 0 THEN 1 ELSE 0 END
+                          + CASE WHEN (doc_id // 3) % 4 = 3 THEN 2 ELSE 0 END
+                        AS INTEGER) AS n_objects
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+        "doc_stats_by_lang": """
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_price_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "orders_by_nation": """
+            SELECT n.n_name AS n_name,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        """,
+        "top_docs_by_chars": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS hour,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS value_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "sessions_per_user": """
+            SELECT user_id,
+                   CAST(1 + SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sessions
+            FROM (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+              FROM events
+            ) t GROUP BY user_id
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        """,
+        "quality_scores": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc,
+                   CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+                       AS n_tokens,
+                   CAST(length(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                        x -> x IN ('the','and','of','a','to','in'))) AS BIGINT)
+                       AS n_stopwords,
+                   CAST(length(regexp_extract_all(text, '[^\w\s]')) AS BIGINT)
+                       AS n_punct
+            FROM documents
+        """,
+        "exact_dedup_text": _DUP_CORPUS
+        + """
+            SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text
+        """,
+        "exact_dedup_key": """
+            SELECT lang, n_chars, MIN(doc_id) AS doc_id
+            FROM documents GROUP BY lang, n_chars
+        """,
+        "minhash_exact_pairs": _DUP_CORPUS
+        + """
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM corpus a JOIN corpus b
+              ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "embedding_dup_pairs": _EMB_CORPUS
+        + """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.999
+        """,
+        "ann_topk": """
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CAST(row_number() OVER (
+                        PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]),
+                            CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id) AS BIGINT) AS rank
+              FROM embeddings q, embeddings c
+              WHERE q.vec_id < 8 AND c.vec_id >= 8
+            ) WHERE rank <= 5
+        """,
+    }

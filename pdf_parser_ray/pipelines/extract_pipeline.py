@@ -1,0 +1,168 @@
+"""The flagship pipeline: pages table -> extracted text (SURVEY.md §3.4).
+
+    read_parquet(pages)
+      -> map_batches(route)                 # stateless tasks: kind sniff,
+                                            #   partition_id, nbytes
+      -> map_batches(Extractor, actors)     # warm CMap caches per actor
+      [-> write_parquet(out/unit=K/...)]    # atomic per-unit output
+      [-> groupby metrics -> manifest]
+
+The hot path is shuffle-free: the only groupby is over the tiny
+per-partition metrics table. Resumable runs process the input in
+units (slices of the partition-id space); see state/manifest.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.extract import Extractor
+from ..stages.route import make_router
+from ..state import manifest as mf
+
+DEFAULT_NUM_PARTITIONS = 256
+
+
+def default_concurrency() -> tuple[int, int]:
+    """Actor-pool size leaving headroom for the read/route/write stages."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    hi = max(2, cpus - 2)
+    return (max(1, hi // 2), hi)
+
+
+def build_extract_ds(
+    pages_ds,
+    *,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    concurrency=None,
+    batch_size: int = 64,
+):
+    """Lazy extraction Dataset over a pages Dataset (no consumption)."""
+    ds = pages_ds.map_batches(
+        make_router(num_partitions), batch_format="pyarrow"
+    )
+    if concurrency is None:
+        concurrency = default_concurrency()
+    return ds.map_batches(
+        Extractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def partition_metrics(extracted_ds):
+    """Per-partition lineage metrics — the only shuffle in the pipeline,
+    over one small row per (partition, batch) partial (SURVEY.md §2.6)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok_int = batch["ok"].cast(pa.int64())
+        t = pa.table(
+            {
+                "partition_id": batch["partition_id"],
+                "rows": pa.array([1] * len(batch), pa.int64()),
+                "ok_rows": ok_int,
+                "bytes_in": batch["nbytes"],
+                "text_bytes": pc.binary_length(batch["text"]).cast(pa.int64()),
+            }
+        )
+        return t.group_by("partition_id").aggregate(
+            [("rows", "sum"), ("ok_rows", "sum"), ("bytes_in", "sum"), ("text_bytes", "sum")]
+        ).rename_columns(["partition_id", "rows", "ok_rows", "bytes_in", "text_bytes"])
+
+    from ray.data.aggregate import Sum
+
+    partials = extracted_ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("partition_id").aggregate(
+        Sum("rows", alias_name="rows"),
+        Sum("ok_rows", alias_name="ok_rows"),
+        Sum("bytes_in", alias_name="bytes_in"),
+        Sum("text_bytes", alias_name="text_bytes"),
+    )
+
+
+def run_extract_job(
+    pages_path: str,
+    out_dir: str,
+    *,
+    num_units: int = 8,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    concurrency=None,
+    batch_size: int = 64,
+    resume: bool = True,
+) -> list[dict]:
+    """Resumable extraction job: per-unit streaming sub-jobs.
+
+    Each unit covers partition ids ``[u*P/U, (u+1)*P/U)``; its output
+    directory commits atomically and its manifest entry is written
+    after commit, so a killed run re-does only unfinished units. At
+    100 TB scale, units are the coarse recovery grain (hundreds to
+    thousands); within a unit Ray's lineage handles task retries.
+    """
+    import ray.data
+
+    done = mf.done_units(out_dir) if resume else set()
+    if not resume:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    results = []
+    bounds = [
+        (u, u * num_partitions // num_units, (u + 1) * num_partitions // num_units)
+        for u in range(num_units)
+    ]
+    for unit_id, lo, hi in bounds:
+        if unit_id in done:
+            continue
+        t0 = time.monotonic()
+        pages = ray.data.read_parquet(pages_path)
+        routed = pages.map_batches(make_router(num_partitions), batch_format="pyarrow")
+        unit_ds = routed.map_batches(
+            lambda t, lo=lo, hi=hi: t.filter(
+                pc.and_(
+                    pc.greater_equal(t["partition_id"], lo),
+                    pc.less(t["partition_id"], hi),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        extracted = unit_ds.map_batches(
+            Extractor,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency if concurrency is not None else default_concurrency(),
+        )
+
+        unit_out = mf.unit_out_dir(out_dir, unit_id)
+        tmp_out = unit_out + ".tmp"
+        shutil.rmtree(tmp_out, ignore_errors=True)
+        shutil.rmtree(unit_out, ignore_errors=True)
+        extracted.write_parquet(tmp_out)
+        os.rename(tmp_out, unit_out)
+
+        # lineage metrics for the unit (small read over committed files)
+        out_ds = ray.data.read_parquet(
+            unit_out, columns=["ok", "nbytes", "text", "partition_id"]
+        )
+        m = partition_metrics(out_ds).to_pandas()
+        dt = time.monotonic() - t0
+        metrics = {
+            "rows": int(m["rows"].sum()),
+            "ok_rows": int(m["ok_rows"].sum()),
+            "err_rows": int(m["rows"].sum() - m["ok_rows"].sum()),
+            "bytes_in": int(m["bytes_in"].sum()),
+            "text_bytes": int(m["text_bytes"].sum()),
+            "partitions": int(len(m)),
+            "duration_sec": round(dt, 3),
+            "docs_per_sec": round(float(m["rows"].sum()) / dt, 1) if dt > 0 else None,
+        }
+        mf.write_unit(out_dir, unit_id, metrics)
+        results.append({"unit_id": unit_id, **metrics})
+    return results

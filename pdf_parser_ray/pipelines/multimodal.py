@@ -1,0 +1,101 @@
+"""Multimodal (binary-column) stages (build mandate).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+The Ray-side plumbing — schema, batch sizing, actor signature, output
+layout — is real; the codec step is STUBBED (no image/audio libraries
+in this container) behind ``decode_stub``: it detects the container
+format from magic bytes, computes real metadata (size, sha256) and
+returns a deterministic fake "decode" so downstream stages exercise
+realistic shapes.
+
+Batch sizing: binary payload stages use small ``batch_size`` so
+``batch_size x concurrency x payload`` fits a worker heap (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+MAGIC = (
+    (b"%PDF-", "application/pdf"),
+    (b"GIF89a", "image/gif"),
+    (b"GIF87a", "image/gif"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"RIFF", "audio/wav"),
+    (b"ID3", "audio/mpeg"),
+)
+
+
+def detect_mime(payload: bytes) -> str:
+    for magic, mime in MAGIC:
+        if payload.startswith(magic):
+            return mime
+    if payload[:1] == b"<" or payload.lstrip()[:1] == b"<":
+        return "text/html"
+    return "application/octet-stream"
+
+
+def decode_stub(payload: bytes, mime: str) -> dict:
+    """STUB decoder: deterministic fake pixel/sample statistics.
+
+    A real deployment replaces this with PIL/libvips/ffmpeg calls in
+    the same actor signature; everything around it (batching, schema,
+    error channel) is already production-shaped.
+    """
+    if not mime.startswith(("image/", "audio/")):
+        raise NotImplementedError(f"no decoder for {mime}")
+    digest = hashlib.sha256(payload).digest()
+    return {
+        "fake_width": 1 + digest[0],
+        "fake_height": 1 + digest[1],
+        "fake_mean": digest[2] / 255.0,
+    }
+
+
+class MediaMeta:
+    """Actor stage: binary payload -> typed metadata row."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        payloads = batch["html"].to_pylist()
+        mimes, sizes, digests, ok, w, h = [], [], [], [], [], []
+        for p in payloads:
+            p = p or b""
+            mime = detect_mime(p)
+            mimes.append(mime)
+            sizes.append(len(p))
+            digests.append(hashlib.sha256(p).hexdigest())
+            try:
+                meta = decode_stub(p, mime)
+                ok.append(True)
+                w.append(meta["fake_width"])
+                h.append(meta["fake_height"])
+            except NotImplementedError:
+                ok.append(False)
+                w.append(0)
+                h.append(0)
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "mime": pa.array(mimes, type=pa.string()),
+                "payload_bytes": pa.array(sizes, type=pa.int64()),
+                "sha256": pa.array(digests, type=pa.string()),
+                "decoded": pa.array(ok, type=pa.bool_()),
+                "width": pa.array(w, type=pa.int32()),
+                "height": pa.array(h, type=pa.int32()),
+            }
+        )
+
+
+def media_meta(sf_dir: str):
+    """Media metadata over the synthetic pages table's binary column."""
+    from ..sources.synth import read_pages
+
+    pages = read_pages(sf_dir)
+    return pages.map_batches(
+        MediaMeta, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )

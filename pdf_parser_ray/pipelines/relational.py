@@ -1,0 +1,215 @@
+"""Relational operators (SURVEY.md §2.5-§2.7 engine mandates):
+pre-aggregated groupbys, broadcast joins, sort/limit, windowed event
+aggregation, sessionization.
+
+Scale notes:
+- Aggregations pre-combine inside ``map_batches`` (one partial row per
+  key per batch) before the small ``groupby`` — the only shuffled data
+  is the partial table, not the input.
+- Money sums use integer cents (``floor(x*100 + 0.5)``) so results are
+  order-independent and bit-exact against the SQL oracle (double sums
+  are not associative).
+- Joins broadcast the small side (dimension dicts via closure capture —
+  Ray ships the UDF once per task; for bigger dims use ray.put + get in
+  actor ``__init__``). Both-large joins: hash-bucket both sides on the
+  key and join per bucket (not needed by any current query).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _p(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """double -> integer cents, half away from zero (matches SQL
+    CAST(FLOOR(x*100 + 0.5) AS BIGINT) for non-negative x)."""
+    return pc.cast(
+        pc.floor(pc.add(pc.multiply(col, pa.scalar(100.0)), pa.scalar(0.5))),
+        pa.int64(),
+    )
+
+
+def doc_stats_by_lang(sf_dir: str):
+    """lang -> n_docs, sum_chars (partial-agg -> tiny groupby)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([("n_chars", "sum"), ("lang", "count")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "sum_chars": g["n_chars_sum"],
+                "n_docs": g["lang_count"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+    )
+
+
+def lineitem_agg(sf_dir: str):
+    """TPC-H Q1-shaped: returnflag/linestatus -> qty, cents, count."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "price_cents": _cents(t["l_extendedprice"]),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        g = t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_cents", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents", "n_rows"]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+def orders_by_nation(sf_dir: str):
+    """Broadcast join: orders |X| customer |X| nation -> per-nation
+    order count + revenue cents. Both dimension tables are tiny; they
+    ride into every task as a numpy lookup (no shuffle)."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    cust_to_nation = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    )
+    nation_name = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        names = [
+            nation_name[cust_to_nation[ck]] for ck in t["o_custkey"].to_pylist()
+        ]
+        t2 = pa.table(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "revenue_cents": _cents(t["o_totalprice"]),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        g = t2.group_by("n_name").aggregate([("revenue_cents", "sum"), ("n", "sum")])
+        return g.rename_columns(["n_name", "revenue_cents", "n_orders"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+
+def top_docs_by_chars(sf_dir: str, k: int = 10):
+    """sort + limit with deterministic tie-break (n_chars desc, doc_id asc)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: n events + value cents."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_type", "ts", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.divide(
+            pc.cast(t["ts"], pa.int64()), pa.scalar(3_600_000_000, pa.int64())
+        )
+        t2 = pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": hour,
+                "value_cents": _cents(t["value"]),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        g = t2.group_by(["event_type", "hour"]).aggregate(
+            [("value_cents", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(["event_type", "hour", "value_cents", "n_events"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Sum("value_cents", alias_name="value_cents"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+
+def sessions_per_user(sf_dir: str, gap_sec: int = 1800):
+    """Sessionization: per-user sorted scan inside map_groups (the
+    groupby shuffle co-locates each user's events; ordering within the
+    group is established by the sort inside the UDF)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().astype("int64") // 1_000_000
+        n = int((ts.diff() > gap_sec).sum()) + 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def route_counts_ds(extracted_ds):
+    """kind -> row count over an extraction output Dataset."""
+    from ray.data.aggregate import Count
+
+    return extracted_ds.groupby("kind").count()

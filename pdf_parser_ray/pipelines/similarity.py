@@ -1,0 +1,240 @@
+"""Similarity search over the embeddings table (build mandate):
+brute-force cosine top-k as the exactness baseline, LSH-bucketed
+near-dup as the scale path.
+
+Scale shapes:
+- top-k: the QUERY matrix is broadcast (tiny); the corpus streams
+  through ``map_batches`` computing a per-batch partial top-k with one
+  numpy matmul; partials reduce to the global top-k (driver-side heap
+  over ~k rows per batch — never the corpus).
+- embedding near-dup (exact): corpus matrix is broadcast once via
+  ray.put (n x 32 floats; ~13 MB at 100k rows), each batch matmuls
+  against it. For corpora too big to broadcast, use the LSH variant:
+  random-hyperplane signatures bucket the rows, pairs verify within
+  buckets only (recall is probabilistic; the exact variant is the
+  correctness anchor).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+DUP_OFFSET = 10_000_000
+# embeddings dimension is inferred from the data (64 in the testdata)
+
+
+def _p(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "embeddings.parquet")
+
+
+def _mat(batch: pa.Table) -> np.ndarray:
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(len(batch), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def with_noisy_copies(batch: pa.Table) -> pa.Table:
+    """embeddings batch + near-identical copies (vec_id % 10 == 0):
+    copy = vec with element 0 mapped to ``x*1.01 + 0.001`` (double
+    precision) -> cosine ~0.9999 to its source; vec_id + DUP_OFFSET.
+
+    The perturbation is deliberately SQL-expressible
+    (``list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN
+    x*1.01 + 0.001 ELSE x END)``) so the DuckDB oracle can rebuild the
+    identical corpus. Copies stay float64 end-to-end on both sides."""
+    ids = batch["vec_id"].to_pylist()
+    mat = _mat(batch).astype(np.float64)
+    add_ids, add_vecs = [], []
+    for i, row in zip(ids, mat):
+        if i % 10 == 0:
+            copy = row.copy()
+            copy[0] = copy[0] * 1.01 + 0.001
+            add_ids.append(i + DUP_OFFSET)
+            add_vecs.append(copy)
+    all_ids = ids + add_ids
+    all_vecs = [mat[k] for k in range(len(ids))] + add_vecs
+    return pa.table(
+        {
+            "vec_id": pa.array(all_ids, type=pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in all_vecs], type=pa.list_(pa.float64())
+            ),
+        }
+    )
+
+
+def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 5):
+    """For each query vector (vec_id < n_queries), the top-k cosine
+    neighbors among vec_id >= n_queries. Returns (query_id, neighbor_id,
+    rank) — integers only, so the oracle hash is float-free."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    qt = pq.read_table(_p(sf_dir))
+    q_ids = np.array(qt["vec_id"].to_pylist())
+    q_mask = q_ids < n_queries
+    qm = _normalize(
+        np.array(qt["embedding"].to_pylist(), dtype=np.float64)[q_mask]
+    )
+    q_id_list = q_ids[q_mask]
+
+    ds = ray.data.read_parquet(_p(sf_dir))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = np.array(batch["vec_id"].to_pylist())
+        mask = ids >= n_queries
+        if not mask.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "cos": pa.array([], type=pa.float64()),
+                }
+            )
+        m = _normalize(_mat(batch)[mask])
+        ids = ids[mask]
+        sims = qm @ m.T  # (n_queries, batch)
+        kk = min(k, sims.shape[1])
+        out_q, out_n, out_c = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = np.argsort(-sims[qi], kind="stable")[:kk]
+            out_q.extend([int(q_id_list[qi])] * len(idx))
+            out_n.extend(int(ids[j]) for j in idx)
+            out_c.extend(float(sims[qi, j]) for j in idx)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cos": pa.array(out_c, type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qid, grp in partials.groupby("query_id"):
+        grp = grp.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+        for rank, (_, row) in enumerate(grp.iterrows(), start=1):
+            out_rows.append((int(qid), int(row["neighbor_id"]), rank))
+    return pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "rank"])
+
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.999):
+    """Exact all-pairs cosine near-dup over the noisy-copy corpus:
+    corpus matrix broadcast once, each batch matmuls against it;
+    emits pairs (a < b) with cos >= threshold."""
+    import ray
+    import ray.data
+
+    base = ray.data.read_parquet(_p(sf_dir)).map_batches(
+        with_noisy_copies, batch_format="pyarrow"
+    )
+    # materialize the (small) corpus matrix once and broadcast
+    ids_all: list[int] = []
+    vecs: list[np.ndarray] = []
+    for b in base.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        ids_all.extend(b["vec_id"].to_pylist())
+        vecs.append(_mat(b))
+    order = np.argsort(ids_all, kind="stable")
+    corpus_ids = np.array(ids_all)[order]
+    corpus = _normalize(np.vstack(vecs)[order])
+    ref = ray.put((corpus_ids, corpus))
+
+    class PairFinder:
+        def __init__(self, ref, threshold):
+            self.ids, self.corpus = ray.get(ref)
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.array(batch["vec_id"].to_pylist())
+            m = _normalize(_mat(batch))
+            sims = m @ self.corpus.T
+            a_out, b_out = [], []
+            for r in range(sims.shape[0]):
+                hits = np.where(sims[r] >= self.threshold)[0]
+                for h in hits:
+                    a, b = int(ids[r]), int(self.ids[h])
+                    if a < b:
+                        a_out.append(a)
+                        b_out.append(b)
+            return pa.table(
+                {
+                    "a": pa.array(a_out, type=pa.int64()),
+                    "b": pa.array(b_out, type=pa.int64()),
+                }
+            )
+
+    return base.map_batches(
+        PairFinder,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_args=(ref, threshold),
+    )
+
+
+def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int = 8,
+                           n_bits: int = 12, seed: int = 77):
+    """Scale-path variant: random-hyperplane LSH bucketing, verify
+    within buckets. Probabilistic recall (documented); the exact
+    variant above is the correctness anchor."""
+    import ray.data
+
+    base = ray.data.read_parquet(_p(sf_dir)).map_batches(
+        with_noisy_copies, batch_format="pyarrow"
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        m = _normalize(_mat(batch))
+        # planes regenerated per call from the fixed seed: identical in
+        # every task, dimension inferred from the data
+        planes = np.random.RandomState(seed).randn(n_tables, n_bits, m.shape[1])
+        out_b, out_id, out_vec = [], [], []
+        for t in range(n_tables):
+            bits = (m @ planes[t].T) > 0  # (n, n_bits)
+            keys = bits @ (1 << np.arange(n_bits))
+            for i, key in enumerate(keys):
+                out_b.append(int(t * (1 << n_bits) + key))
+                out_id.append(ids[i])
+                out_vec.append(m[i].astype(np.float32).tolist())
+        return pa.table(
+            {
+                "bucket": pa.array(out_b, type=pa.int64()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "vec": pa.array(out_vec, type=pa.list_(pa.float32())),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        m = np.stack(g["vec"].to_numpy())
+        m = _normalize(m)
+        sims = m @ m.T
+        a, b = [], []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= threshold:
+                    a.append(int(ids[i]))
+                    b.append(int(ids[j]))
+        return pd.DataFrame({"a": a, "b": b})
+
+    return (
+        base.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )

@@ -1,0 +1,148 @@
+"""Text-analysis operators over the documents table (build mandate:
+language-ID, quality scoring, token counting, fingerprinting).
+
+Every stage is a vectorized/batched ``map_batches`` over pyarrow or
+pandas batches; stopword profiles and compiled regexes live in actor
+``__init__``s where stateful.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import fnv1a64, shingle_hashes, simhash64
+
+TOKEN_RE = r"[A-Za-z0-9]+"
+STOPWORDS = ("the", "and", "of", "a", "to", "in")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "on"},
+    "de": {"der", "die", "das", "und", "von", "zu", "mit", "ist", "auf", "ein"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "dans", "pour"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "en", "por"},
+}
+
+
+def documents_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def token_counts_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, n_tokens) — vectorized regex count; semantics match
+    DuckDB ``len(regexp_extract_all(text, '[A-Za-z0-9]+'))``."""
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_tokens": df["text"].str.count(TOKEN_RE).astype("int64"),
+        }
+    )
+
+
+def quality_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Integer quality components (ints keep the oracle hash exact):
+    n_chars_calc, n_tokens, n_stopwords, n_punct."""
+    texts = df["text"]
+    tokens = texts.str.findall(TOKEN_RE)
+    stop = frozenset(STOPWORDS)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_chars_calc": texts.str.len().astype("int64"),
+            "n_tokens": tokens.map(len).astype("int64"),
+            "n_stopwords": tokens.map(
+                lambda ts: sum(1 for t in ts if t in stop)
+            ).astype("int64"),
+            "n_punct": texts.str.count(r"[^\w\s]").astype("int64"),
+        }
+    )
+
+
+class LangId:
+    """Stopword/CJK-heuristic language ID (stateful stage: profiles and
+    the token regex are compiled once per actor)."""
+
+    def __init__(self):
+        self.word = re.compile(TOKEN_RE)
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def predict(self, text: str) -> str:
+        if any("一" <= c <= "鿿" for c in text[:400]):
+            return "zh"
+        toks = self.word.findall(text.lower())
+        if not toks:
+            return "und"
+        best_lang, best = "und", 0
+        for lang in ("en", "de", "fr", "es"):  # fixed order = determinism
+            score = sum(1 for t in toks if t in self.profiles[lang])
+            if score > best:
+                best_lang, best = lang, score
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "pred_lang": pa.array(preds, type=pa.string()),
+            }
+        )
+
+
+class Fingerprinter:
+    """Document fingerprints: FNV-1a64 content hash + SimHash64 over
+    3-gram shingles (emitted as int64 for Arrow/SQL friendliness)."""
+
+    def __init__(self):
+        self.word = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = []
+        shs = []
+        for t in batch["text"].to_pylist():
+            fps.append(fnv1a64(t.encode("utf-8")) - (1 << 63))
+            sh = simhash64(shingle_hashes(self.word.findall(t)))
+            shs.append(sh - (1 << 63))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fnv64": pa.array(fps, type=pa.int64()),
+                "simhash64": pa.array(shs, type=pa.int64()),
+            }
+        )
+
+
+def token_counts(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(documents_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(token_counts_batch, batch_format="pandas")
+
+
+def quality_scores(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(documents_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pandas")
+
+
+def lang_id(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        documents_path(sf_dir), columns=["doc_id", "text", "lang"]
+    )
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def fingerprints(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(documents_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))

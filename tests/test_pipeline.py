@@ -1,0 +1,149 @@
+"""Pipeline/e2e tests (FIXTURES.md §5): routing, error channel, metrics,
+resume, dedup corpus — small scale, one Ray session (conftest)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages_path(ray_session):
+    from pdf_parser_ray.sources.synth import build_pages_table
+
+    return build_pages_table(SF)
+
+
+@pytest.fixture(scope="module")
+def docs():
+    t = pq.read_table(os.path.join(SF, "documents.parquet"))
+    return {r["doc_id"]: r for r in t.to_pylist()}
+
+
+def test_pages_schema(pages_path):
+    schema = pq.ParquetDataset(pages_path).schema
+    names = [f.name for f in schema]
+    assert names[:5] == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_route_and_extract(ray_session, pages_path, docs):
+    import ray.data
+
+    from pdf_parser_ray.pipelines.extract_pipeline import build_extract_ds
+
+    out = build_extract_ds(
+        ray.data.read_parquet(pages_path), num_partitions=16
+    ).take_all()
+    assert len(out) == len(docs)
+    for r in out:
+        doc_id = int(r["url"].rsplit("/", 1)[1])
+        arm = doc_id % 3
+        if arm == 0:
+            assert r["kind"] == "pdf" and r["ok"]
+            assert bytes(r["text"]) == docs[doc_id]["text"].encode()
+            assert r["n_pages"] == 1
+            assert r["spans"][0]["kind"] == "page"
+        elif arm == 1:
+            assert r["kind"] == "html" and r["ok"]
+            assert bytes(r["text"]) == docs[doc_id]["text"].encode()
+        else:
+            assert r["kind"] == "other" and not r["ok"]
+            assert r["error"] == "route: unsupported payload"
+
+
+def test_corrupt_rows_are_contained(ray_session):
+    """A table with corrupt PDFs must produce error rows, not failures."""
+    import ray.data
+
+    from pdf_parser_ray.pdfcore import pdfbuild
+    from pdf_parser_ray.pipelines.extract_pipeline import build_extract_ds
+
+    rows = {
+        "url": [f"https://x.example/p/{i}" for i in range(4)],
+        "warc_ts": pa.array([0] * 4, pa.int64()).cast(pa.timestamp("us")),
+        "html": [
+            pdfbuild.build_truncated(),
+            pdfbuild.build_no_eof(),
+            pdfbuild.build_free_entry_deref(),
+            pdfbuild.build_text_pdf(b"fine"),
+        ],
+        "text": ["", "", "", ""],
+        "lang": ["en"] * 4,
+    }
+    ds = ray.data.from_arrow(pa.table(rows))
+    out = sorted(
+        build_extract_ds(ds, num_partitions=4, concurrency=1).take_all(),
+        key=lambda r: r["url"],
+    )
+    assert [r["ok"] for r in out] == [False, False, False, True]
+    assert "trailer" in out[0]["error"] or "lexer" in out[0]["error"]
+    assert "EOF marker is not found" in out[1]["error"]
+    assert "not supportted" in out[2]["error"]
+    assert bytes(out[3]["text"]) == b"fine"
+
+
+def test_resume_job(ray_session, pages_path, tmp_path):
+    from pdf_parser_ray.pipelines.extract_pipeline import run_extract_job
+    from pdf_parser_ray.state import manifest as mf
+
+    out_dir = str(tmp_path / "job")
+    results = run_extract_job(
+        pages_path, out_dir, num_units=4, num_partitions=16, concurrency=2
+    )
+    assert len(results) == 4
+    assert sum(r["rows"] for r in results) == 500
+    assert mf.done_units(out_dir) == {0, 1, 2, 3}
+
+    # kill one unit -> rerun processes exactly that unit
+    mf.clear_unit(out_dir, 2)
+    results2 = run_extract_job(
+        pages_path, out_dir, num_units=4, num_partitions=16, concurrency=2
+    )
+    assert [r["unit_id"] for r in results2] == [2]
+    entries = mf.read_manifest(out_dir)
+    assert sum(e["rows"] for e in entries) == 500
+    assert all(e["err_rows"] == e["rows"] - e["ok_rows"] for e in entries)
+
+    # committed output is readable and complete
+    import ray.data
+
+    total = ray.data.read_parquet(out_dir).count()
+    assert total == 500
+
+
+def test_dup_corpus_counts(ray_session):
+    from pdf_parser_ray.pipelines.dedup import dup_corpus
+
+    n_docs = 500
+    n = dup_corpus(SF).count()
+    # +10% mutated copies (%10==0) +10% exact copies (%10==5)
+    assert n == n_docs + n_docs // 10 + n_docs // 10
+
+
+def test_minhash_finds_planted_pairs(ray_session):
+    from pdf_parser_ray.pipelines.dedup import DUP_OFFSET, minhash_dup_pairs
+
+    pairs = {
+        (r["a"], r["b"]) for r in minhash_dup_pairs(SF, threshold=0.5).take_all()
+    }
+    planted = {
+        (i, i + DUP_OFFSET) for i in range(0, 500) if i % 10 in (0, 5)
+    }
+    missing = planted - pairs
+    assert not missing, f"missed planted pairs: {sorted(missing)[:5]}"
+
+
+def test_media_meta_stub(ray_session):
+    from pdf_parser_ray.pipelines.multimodal import media_meta
+
+    out = media_meta(SF).take_all()
+    assert len(out) == 500
+    mimes = {r["mime"] for r in out}
+    assert "application/pdf" in mimes and "text/html" in mimes
+    gif = [r for r in out if r["mime"] == "image/gif"]
+    assert gif and all(r["decoded"] and r["width"] > 0 for r in gif)
+    pdf = [r for r in out if r["mime"] == "application/pdf"]
+    assert all(not r["decoded"] for r in pdf)  # stub has no pdf decoder
