@@ -116,7 +116,11 @@ class PdfDocument:
             return cached
 
         offset = self.xref.get_byte_offset(indirect_ref)
-        buf_size = 200
+        # window start/growth are pure performance knobs: the lexer halts
+        # at endobj/stream (Q11) so an over-large window is unobservable,
+        # and an under-sized one retries to the same final state. 1024 +
+        # doubling replaces the reference's 200+200 linear crawl.
+        buf_size = 1024
         max_size = (self.size - offset) + 200
         while True:
             window = self.buf[offset : offset + buf_size]
@@ -124,7 +128,7 @@ class PdfDocument:
                 parser = Parser(window, offset)
             except ParserError as e:
                 if e.kind in ("IndirectObjMissMatch", "Lexer") and buf_size <= max_size:
-                    buf_size += 200
+                    buf_size *= 2
                     continue
                 raise
             obj = parser.parse()

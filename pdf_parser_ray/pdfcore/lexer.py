@@ -29,6 +29,8 @@ Integer parse mirrors Rust ``isize`` (64-bit): values outside
 
 from __future__ import annotations
 
+import re
+
 from .errors import LexerError
 from . import rawbyte
 
@@ -69,6 +71,8 @@ def parse_name(buf: bytes) -> str:
 
 def parse_string(buf: bytes) -> bytes:
     """Literal-string unescape (src/lexer.rs:99-173; quirks Q1/Q2/Q14)."""
+    if b"\\" not in buf:  # no escapes: identity (C-speed check)
+        return bytes(buf)
     out = bytearray()
     i = 0
     n = len(buf)
@@ -123,18 +127,19 @@ def parse_string(buf: bytes) -> bytes:
     return bytes(out)
 
 
+_HEX_FULL = re.compile(rb"[0-9a-fA-F]*\Z")
+
+
 def parse_hex_string(buf: bytes) -> bytes:
-    """Hex pairs -> bytes; odd length pads trailing 0 (src/lexer.rs:177-212)."""
-    for b in buf:
-        if b not in _HEX_DIGITS:
-            raise ValueError("non-hexdigit")
-    out = bytearray()
-    n = len(buf)
-    for i in range(0, n - 1, 2):
-        out.append(int(buf[i : i + 2], 16))
-    if n % 2 == 1:
-        out.append(int(buf[n - 1 : n].decode() + "0", 16))
-    return bytes(out)
+    """Hex pairs -> bytes; odd length pads trailing 0 (src/lexer.rs:177-212).
+
+    bytes.fromhex is the C fast path; the fullmatch guard preserves the
+    reference's strictness (fromhex alone would tolerate spaces)."""
+    if _HEX_FULL.match(buf) is None:
+        raise ValueError("non-hexdigit")
+    if len(buf) % 2 == 1:
+        buf = buf + b"0"
+    return bytes.fromhex(buf.decode("ascii"))
 
 
 class Lexer:
@@ -220,8 +225,256 @@ class Lexer:
         return self.has_iobj_start != self.has_iobj_end
 
     # -- main loop (src/lexer.rs:353-688) --
+    #
+    # Two implementations with identical observable behavior (tokens,
+    # offsets, errors, halt points): ``tokenize_naive`` is the literal
+    # byte-at-a-time port of the reference; ``tokenize`` is the
+    # production path using C-speed regex/find scanning. Equivalence is
+    # pinned by the ported reference vectors, the quirk tests and a
+    # differential hypothesis test (tests/test_lexer.py).
+
+    _WS_RUN = re.compile(rb"[\x00\t\n\x0c\r ]+")
+    _NUM_RUN = re.compile(rb"[0-9+\-.]+")
+    # regular chars per Q4: 0x12 excluded from regular, 0x0c INCLUDED
+    _REG_RUN = re.compile(rb"[^\x00\t\n\x12\r ()<>\[\]{}/%]*")
+    _HEX_RUN = re.compile(rb"[0-9a-fA-F]*")
+    _STR_DELIM = re.compile(rb"[\\()]")
 
     def tokenize(self) -> None:
+        buf = self.buffer
+        n = len(buf)
+        i = self.i
+        head = self.token_head_i
+        start = self.start
+        tokens = self.tokens
+
+        def sync():
+            self.i = i
+            self.token_head_i = head
+            if i < n:
+                self.byte = buf[i]
+
+        def err(kind: str) -> LexerError:
+            sync()
+            return LexerError(kind, start + head)
+
+        def cancel():
+            nonlocal head
+            if tokens:
+                tok = tokens.pop()
+                head = tok[2] - start
+                return tok
+            head = 0
+            return None
+
+        while head < n:
+            b = buf[i]
+
+            # whitespace/EOL runs and comments (all skip, no tokens)
+            if b in (0, 9, 10, 12, 13, 32):
+                i = self._WS_RUN.match(buf, i).end()
+                head = i
+                continue
+            if b == 0x25:  # % comment to EOL (or EOF)
+                j1 = buf.find(b"\n", i)
+                j2 = buf.find(b"\r", i)
+                if j1 == -1 and j2 == -1:
+                    i = head = n
+                    continue
+                j = min(x for x in (j1, j2) if x != -1)
+                if buf[j] == 13 and j + 1 < n and buf[j + 1] == 10:
+                    i = j + 2
+                else:
+                    i = j + 1
+                head = i
+                continue
+
+            if b in _NUMBER_CHARS:
+                end = self._NUM_RUN.match(buf, i).end()
+                s = buf[i:end].decode("ascii")
+                ok = False
+                try:
+                    v = int(s)
+                    if _ISIZE_MIN <= v <= _ISIZE_MAX:
+                        tokens.append((K_INT, v, start + i))
+                        ok = True
+                except ValueError:
+                    pass
+                if not ok:
+                    try:
+                        tokens.append((K_REAL, float(s), start + i))
+                    except ValueError:
+                        raise err("ParseNumber") from None
+                i = head = end
+                continue
+
+            if b == 0x2F:  # /name
+                end = self._REG_RUN.match(buf, i + 1).end()
+                body = buf[i + 1 : end]
+                if not body.isascii():
+                    raise err("ParseName")
+                tokens.append((K_NAME, body.decode("ascii"), start + i))
+                i = head = end
+                continue
+
+            if b == 0x3C:  # << or <hex>
+                if i + 1 >= n:
+                    raise err("FinishInObject")
+                if buf[i + 1] == 0x3C:
+                    tokens.append((K_DICT_START, None, start + i))
+                    i = head = i + 2
+                    continue
+                end = self._HEX_RUN.match(buf, i + 1).end()
+                if end >= n:
+                    raise err("FinishInObject")
+                if buf[end] != 0x3E:
+                    raise err("UnexpectedByte")
+                tokens.append(
+                    (K_HEXSTR, parse_hex_string(buf[i + 1 : end]), start + i)
+                )
+                i = head = end + 1
+                continue
+
+            if b == 0x3E:  # >>
+                if i + 1 >= n or buf[i + 1] != 0x3E:
+                    raise err("FinishInObject")
+                tokens.append((K_DICT_END, None, start + i))
+                i = head = i + 2
+                continue
+
+            if b == 0x28:  # (string)
+                depth = 0
+                pos = i + 1
+                close = -1
+                while True:
+                    m = self._STR_DELIM.search(buf, pos)
+                    if m is None:
+                        raise err("FinishInObject")
+                    at = m.start()
+                    c = buf[at]
+                    if c == 0x5C:
+                        pos = at + 2
+                        if pos > n:
+                            raise err("FinishInObject")
+                    elif c == 0x28:
+                        depth += 1
+                        pos = at + 1
+                    else:  # )
+                        if depth == 0:
+                            close = at
+                            break
+                        depth -= 1
+                        pos = at + 1
+                # the reference hits EOF (FinishInObject) when the
+                # closing paren is the very last byte unreached; close
+                # found -> token confirmed even at buffer end
+                tokens.append(
+                    (K_STR, parse_string(buf[i + 1 : close]), start + i)
+                )
+                i = head = close + 1
+                continue
+
+            if b == 0x5B:
+                tokens.append((K_ARR_START, None, start + i))
+                i = head = i + 1
+                continue
+
+            if b == 0x5D:
+                tokens.append((K_ARR_END, None, start + i))
+                i = head = i + 1
+                continue
+
+            if b == 0x52:  # R
+                gen_tok = cancel()
+                obj_tok = cancel()
+                if (
+                    obj_tok is not None
+                    and gen_tok is not None
+                    and obj_tok[0] == K_INT
+                    and gen_tok[0] == K_INT
+                    and obj_tok[1] > 0
+                    and gen_tok[1] >= 0
+                ):
+                    tokens.append(
+                        (K_IREF, (obj_tok[1], gen_tok[1]), start + head)
+                    )
+                    i = head = i + 1
+                    continue
+                raise err("InvalidIndirectRef")
+
+            if buf.startswith(b"obj", i):
+                gen_tok = cancel()
+                obj_tok = cancel()
+                if (
+                    obj_tok is not None
+                    and gen_tok is not None
+                    and obj_tok[0] == K_INT
+                    and gen_tok[0] == K_INT
+                    and obj_tok[1] > 0
+                    and gen_tok[1] >= 0
+                ):
+                    tokens.append(
+                        (K_IOBJ_START, (obj_tok[1], gen_tok[1]), start + head)
+                    )
+                    self.has_iobj_start = True
+                    i = head = i + 3
+                    continue
+                # failed pop: the reference falls through to the other
+                # keyword checks with the cursor on the last matched byte
+                i = i + 2
+
+            if buf.startswith(b"endobj", i):
+                j = i + 6
+                if j < n and buf[j] not in _NON_REGULAR:
+                    raise err("UndefinedKeyword")
+                tokens.append((K_IOBJ_END, None, start + head))
+                self.has_iobj_end = True
+                i = head = j
+                sync()
+                return
+
+            if buf.startswith(b"stream", i):
+                last = i + 5  # index of 'm'
+                if (n - last) < 3:
+                    raise err("ConfirmStream")
+                j = last + 1
+                if buf[j] == 10:
+                    eol_end = j
+                elif buf[j] == 13 and j + 1 < n and buf[j + 1] == 10:
+                    eol_end = j + 1
+                else:
+                    raise err("UnexpectedByte")
+                tokens.append((K_IOBJ_END, None, start + head))
+                self.has_iobj_end = True
+                head = eol_end
+                tokens.append(
+                    (K_STREAM_START, start + eol_end + 1, start + head)
+                )
+                i = head = eol_end
+                sync()
+                return
+
+            matched_kw = None
+            if buf.startswith(b"null", i):
+                matched_kw = (K_NULL, None, 4)
+            elif buf.startswith(b"true", i):
+                matched_kw = (K_BOOL, True, 4)
+            elif buf.startswith(b"false", i):
+                matched_kw = (K_BOOL, False, 5)
+            if matched_kw is not None:
+                kind, value, klen = matched_kw
+                j = i + klen
+                if j < n and buf[j] not in _NON_REGULAR:
+                    raise err("UndefinedKeyword")
+                tokens.append((kind, value, start + head))
+                i = head = j
+                continue
+
+            raise err("UndefinedKeyword")
+
+        sync()
+
+    def tokenize_naive(self) -> None:
         is_comment = False
         buf = self.buffer
         n = len(buf)

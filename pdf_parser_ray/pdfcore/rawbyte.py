@@ -21,7 +21,44 @@ def first_match_index(buffer, target) -> int | None:
     """Index of the first needle occurrence — reference state machine.
 
     Mirrors src/raw_byte.rs:7-26 including Q6 (no re-test on mismatch).
+
+    Fast path: the naive machine only ever begins a match attempt at a
+    byte it examines with ti == 0, and after a mismatch at absolute
+    position p the next such byte is p + 1 (the mismatching byte is
+    consumed). So it is exactly equivalent to: anchor at successive
+    candidate starts found with C-speed ``bytes.find(target[0])``,
+    compare the slice, and on a mismatch at relative offset m resume
+    the scan at anchor + m + 1. Equivalence is property-tested against
+    the literal port in tests/test_rawbyte.py.
     """
+    n = len(target)
+    if n == 0:
+        return 0
+    buffer = bytes(buffer) if not isinstance(buffer, (bytes, bytearray)) else buffer
+    target = bytes(target) if not isinstance(target, (bytes, bytearray)) else target
+    first = target[0:1]
+    pos = 0
+    blen = len(buffer)
+    while pos < blen:
+        k = buffer.find(first, pos)
+        if k == -1:
+            return None
+        window = buffer[k : k + n]
+        if window == target:
+            return k
+        # find the first mismatching offset; resume one past it
+        m = 1
+        wlen = len(window)
+        while m < wlen and window[m] == target[m]:
+            m += 1
+        if wlen < n and m == wlen:
+            return None  # buffer ended mid-match: no restart possible
+        pos = k + m + 1
+    return None
+
+
+def _first_match_index_reference(buffer, target) -> int | None:
+    """Literal port of src/raw_byte.rs:7-26 (kept for property tests)."""
     if len(target) == 0:
         return 0
     ti = 0
@@ -41,7 +78,38 @@ def last_match_index(buffer, target) -> int | None:
 
     Mirrors src/raw_byte.rs:29-48 (same non-restarting quirk, reversed).
     Empty needle returns ``len(buffer)`` as the reference does.
+    Fast path symmetric to ``first_match_index`` (anchor candidate ENDs
+    with rfind, compare backwards, resume one before the mismatch);
+    property-tested against the literal port.
     """
+    n = len(target)
+    if n == 0:
+        return len(buffer)
+    buffer = bytes(buffer) if not isinstance(buffer, (bytes, bytearray)) else buffer
+    target = bytes(target) if not isinstance(target, (bytes, bytearray)) else target
+    last = target[-1:]
+    end = len(buffer)  # exclusive bound for the candidate end byte
+    while end > 0:
+        k = buffer.rfind(last, 0, end)  # candidate: target ends at k
+        if k == -1:
+            return None
+        start = k - n + 1
+        window = buffer[max(0, start) : k + 1]
+        if start >= 0 and window == target:
+            return start
+        # first mismatch scanning backwards from the end
+        m = 1
+        wlen = len(window)
+        while m < wlen and window[wlen - 1 - m] == target[n - 1 - m]:
+            m += 1
+        if m == wlen and wlen < n:
+            return None  # buffer begin reached mid-match
+        end = k - m
+    return None
+
+
+def _last_match_index_reference(buffer, target) -> int | None:
+    """Literal port of src/raw_byte.rs:29-48 (kept for property tests)."""
     if len(target) == 0:
         return len(buffer)
     ti = len(target) - 1

@@ -21,6 +21,8 @@ Deterministic assembly rule (normative for this engine's goldens):
 
 from __future__ import annotations
 
+import re
+
 from .errors import TextExtractError
 from .lexer import (
     _HEX_DIGITS,
@@ -57,6 +59,12 @@ class ContentLexer:
 
     __slots__ = ("buf", "i", "n")
 
+    _WS_RUN = re.compile(rb"[\x00\t\n\x0c\r ]+")
+    _NUM_RUN = re.compile(rb"[0-9+\-.]+")
+    _REG_RUN = re.compile(rb"[^\x00\t\n\x12\r ()<>\[\]{}/%]+")
+    _HEX_RUN = re.compile(rb"[0-9a-fA-F]*")
+    _STR_DELIM = re.compile(rb"[\\()]")
+
     def __init__(self, buf: bytes):
         self.buf = buf
         self.i = 0
@@ -67,16 +75,17 @@ class ContentLexer:
         while self.i < n:
             b = buf[self.i]
             if b in _WS:
-                self.i += 1
+                self.i = self._WS_RUN.match(buf, self.i).end()
                 continue
             if b == 0x25:  # % comment to EOL
-                while self.i < n and buf[self.i] not in (10, 13):
-                    self.i += 1
+                j1 = buf.find(b"\n", self.i)
+                j2 = buf.find(b"\r", self.i)
+                js = [x for x in (j1, j2) if x != -1]
+                self.i = min(js) if js else n
                 continue
             if b in _NUMBER_CHARS:
                 start = self.i
-                while self.i < n and buf[self.i] in _NUMBER_CHARS:
-                    self.i += 1
+                self.i = self._NUM_RUN.match(buf, start).end()
                 s = buf[start : self.i].decode("ascii")
                 try:
                     yield (C_NUM, int(s))
@@ -90,9 +99,8 @@ class ContentLexer:
                 continue
             if b == 0x2F:  # /name
                 start = self.i
-                self.i += 1
-                while self.i < n and buf[self.i] not in _NON_REGULAR:
-                    self.i += 1
+                m = self._REG_RUN.match(buf, start + 1)
+                self.i = m.end() if m else start + 1
                 try:
                     yield (C_NAME, parse_name(buf[start + 1 : self.i]))
                 except ValueError:
@@ -100,23 +108,26 @@ class ContentLexer:
                 continue
             if b == 0x28:  # (string) with balanced parens + escapes
                 start = self.i
-                self.i += 1
-                prev_backslash = False
                 depth = 0
-                while self.i < n:
-                    c = buf[self.i]
-                    if not prev_backslash and depth == 0 and c == 0x29:
-                        break
-                    if not prev_backslash and c == 0x28:
+                pos = start + 1
+                while True:
+                    m = self._STR_DELIM.search(buf, pos)
+                    if m is None:
+                        raise TextExtractError("unterminated string", start)
+                    at = m.start()
+                    c = buf[at]
+                    if c == 0x5C:
+                        pos = at + 2
+                    elif c == 0x28:
                         depth += 1
-                    elif not prev_backslash and c == 0x29:
+                        pos = at + 1
+                    else:
+                        if depth == 0:
+                            break
                         depth -= 1
-                    prev_backslash = not prev_backslash and c == 0x5C
-                    self.i += 1
-                if self.i >= n:
-                    raise TextExtractError("unterminated string", start)
-                body = parse_string(buf[start + 1 : self.i])
-                self.i += 1
+                        pos = at + 1
+                body = parse_string(buf[start + 1 : at])
+                self.i = at + 1
                 yield (C_STR, body)
                 continue
             if b == 0x3C:  # << or <hex>
@@ -125,14 +136,11 @@ class ContentLexer:
                     yield (C_DICT_START, None)
                     continue
                 start = self.i
-                self.i += 1
-                hstart = self.i
-                while self.i < n and buf[self.i] in _HEX_DIGITS:
-                    self.i += 1
-                if self.i >= n or buf[self.i] != 0x3E:
+                end = self._HEX_RUN.match(buf, start + 1).end()
+                if end >= n or buf[end] != 0x3E:
                     raise TextExtractError("unterminated hex string", start)
-                body = parse_hex_string(buf[hstart : self.i])
-                self.i += 1
+                body = parse_hex_string(buf[start + 1 : end])
+                self.i = end + 1
                 yield (C_HEX, body)
                 continue
             if b == 0x3E:  # >>
@@ -149,11 +157,10 @@ class ContentLexer:
                 self.i += 1
                 yield (C_ARR_END, None)
                 continue
-            if b not in _NON_REGULAR:
-                start = self.i
-                while self.i < n and buf[self.i] not in _NON_REGULAR:
-                    self.i += 1
-                yield (C_OP, buf[start : self.i].decode("latin-1"))
+            m = self._REG_RUN.match(buf, self.i)
+            if m is not None:
+                self.i = m.end()
+                yield (C_OP, m.group(0).decode("latin-1"))
                 continue
             # unknown delimiter (e.g. { } in type-4 functions): 1-byte op
             self.i += 1
@@ -181,7 +188,7 @@ class ToUnicodeCMap:
     <lo> <hi> <dst> and <lo> <hi> [<d1>...] forms), per PDF 1.7 §5.9.
     """
 
-    __slots__ = ("single", "ranges", "code_lengths")
+    __slots__ = ("single", "ranges", "code_lengths", "_table1")
 
     def __init__(self, data: bytes):
         self.single: dict[tuple[int, int], str] = {}
@@ -244,7 +251,31 @@ class ToUnicodeCMap:
 
         self.code_lengths = sorted(lengths) or [1]
 
+        # fast path: pure single-byte CMap -> one 256-entry table usable
+        # with C-speed str.translate (None entries fall back to U+FFFD)
+        self._table1: dict[int, str] | None = None
+        if self.code_lengths == [1]:
+            table = {}
+            for code in range(256):
+                hit = self.single.get((code, 1))
+                if hit is None:
+                    for lo, hi, rlen, base in self.ranges:
+                        if rlen == 1 and lo <= code <= hi:
+                            hit = (
+                                base[:-1] + chr(ord(base[-1]) + (code - lo))
+                                if base
+                                else ""
+                            )
+                            break
+                table[code] = "�" if hit is None else hit
+            self._table1 = table
+
     def map_bytes(self, data: bytes) -> str:
+        if self._table1 is not None:
+            return data.decode("latin-1").translate(self._table1)
+        return self._map_bytes_general(data)
+
+    def _map_bytes_general(self, data: bytes) -> str:
         """Decode a show-string through the CMap; unmapped -> U+FFFD."""
         out: list[str] = []
         i = 0
@@ -317,16 +348,18 @@ def _page_fonts(doc, page, cmap_cache: dict | None = None) -> dict[str, _Font]:
         cmap = None
         tou = font_dict[VAL].get("ToUnicode") if font_dict[TAG] == "dict" else None
         if tou is not None:
-            stream = doc.resolve(ensure_ref(tou))
-            data = doc.get_stream_decoded(ensure_stream(stream))
+            stream = ensure_stream(doc.resolve(ensure_ref(tou)))
             if cmap_cache is not None:
-                key = hash(data)
+                # cache keyed by the RAW stream bytes: a hit skips the
+                # filter decode AND the CMap parse (identical ToUnicode
+                # streams recur constantly across a real corpus)
+                key = hash(doc.get_stream_raw(stream))
                 cmap = cmap_cache.get(key)
                 if cmap is None:
-                    cmap = ToUnicodeCMap(data)
+                    cmap = ToUnicodeCMap(doc.get_stream_decoded(stream))
                     cmap_cache[key] = cmap
             else:
-                cmap = ToUnicodeCMap(data)
+                cmap = ToUnicodeCMap(doc.get_stream_decoded(stream))
         fonts[name] = _Font(cmap)
     return fonts
 

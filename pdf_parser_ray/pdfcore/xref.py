@@ -88,10 +88,18 @@ class XRef:
         if len(entry) != 18:
             raise PanicError("cannot read 18 byte")
 
-        n_obj = ensure_int(Parser(entry[:10], entry_off).parse())
-        assert_not_negative(n_obj)
-        g_obj = ensure_int(Parser(entry[11:16], entry_off + 12).parse())
-        assert_not_negative(g_obj)
+        # fast path: well-formed entries are pure digit runs; the full
+        # Parser is only needed for its exact error behavior on
+        # malformed bytes, so fall back to it in that case
+        n_buf, g_buf = entry[:10], entry[11:16]
+        if n_buf.isdigit() and g_buf.isdigit():
+            n_obj = ("int", int(n_buf), entry_off)
+            g_obj = ("int", int(g_buf), entry_off + 12)
+        else:
+            n_obj = ensure_int(Parser(n_buf, entry_off).parse())
+            assert_not_negative(n_obj)
+            g_obj = ensure_int(Parser(g_buf, entry_off + 12).parse())
+            assert_not_negative(g_obj)
 
         t_byte = entry[17]
         if t_byte == 110:  # n

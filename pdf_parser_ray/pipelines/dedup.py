@@ -134,8 +134,18 @@ def exact_dedup_key(sf_dir: str):
 # -- MinHash + LSH --
 
 
+N_SHUFFLE_BUCKETS = 64
+
+
 class MinHashStage:
-    """doc -> (band_key, doc_id) rows; hasher + regex warm per actor."""
+    """doc -> (bucket, band_key, doc_id) rows; hasher warm per actor.
+
+    ``bucket`` coarsens the shuffle key: the downstream groupby
+    co-locates ~(bands x docs / 64) rows per group and pair generation
+    does a LOCAL pandas groupby per band inside each group — thousands
+    of tiny distributed groups collapse into 64, which removes Ray's
+    per-group dispatch overhead while producing identical pairs.
+    """
 
     def __init__(self):
         self.word = re.compile(TOKEN_RE)
@@ -151,22 +161,29 @@ class MinHashStage:
             for key in self.hasher.band_keys(sig):
                 ids_out.append(doc_id)
                 keys_out.append(key - (1 << 63))
+        keys = pa.array(keys_out, type=pa.int64())
         return pa.table(
             {
-                "band_key": pa.array(keys_out, type=pa.int64()),
+                "bucket": pa.array(
+                    [k % N_SHUFFLE_BUCKETS for k in keys_out], type=pa.int32()
+                ),
+                "band_key": keys,
                 "doc_id": pa.array(ids_out, type=pa.int64()),
             }
         )
 
 
-def _candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(set(g["doc_id"].tolist()))
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"a": a, "b": b})
+def _bucket_candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """All within-band pairs for every band in one shuffle bucket."""
+    a_out: list[int] = []
+    b_out: list[int] = []
+    for _, band in g.groupby("band_key"):
+        ids = sorted(set(band["doc_id"].tolist()))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+    return pd.DataFrame({"a": a_out, "b": b_out}).drop_duplicates()
 
 
 class JaccardVerify:
@@ -218,11 +235,8 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
 
     ds = dup_corpus(sf_dir)
     banded = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=(1, 4))
-    cands = (
-        banded.groupby("band_key")
-        .map_groups(_candidate_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    cands = banded.groupby("bucket").map_groups(
+        _bucket_candidate_pairs, batch_format="pandas"
     )
 
     # broadcast id->text for verification (documents are small per id;
@@ -232,12 +246,17 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
         texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
     ref = ray.put(texts)
 
-    return cands.map_batches(
+    verified = cands.map_batches(
         JaccardVerify,
         batch_format="pyarrow",
         concurrency=(1, 4),
         fn_constructor_args=(ref, threshold),
     ).select_columns(["a", "b"])
+    # a pair can surface from bands in different shuffle buckets: final
+    # global dedup over the (tiny) verified set
+    return verified.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
 
 
 def simhash_fingerprints(sf_dir: str, max_hamming: int = 6):
@@ -253,18 +272,21 @@ def simhash_fingerprints(sf_dir: str, max_hamming: int = 6):
             self.word = re.compile(TOKEN_RE)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, bands, sims = [], [], []
+            ids, bands, buckets, sims = [], [], [], []
             for doc_id, text in zip(
                 batch["doc_id"].to_pylist(), batch["text"].to_pylist()
             ):
                 sh = simhash64(shingle_hashes(self.word.findall(text)))
                 for band in range(4):
                     chunk = (sh >> (band * 16)) & 0xFFFF
+                    key = band * 65536 + chunk
                     ids.append(doc_id)
-                    bands.append(band * 65536 + chunk)
+                    bands.append(key)
+                    buckets.append(key % N_SHUFFLE_BUCKETS)
                     sims.append(sh - (1 << 63))
             return pa.table(
                 {
+                    "bucket": pa.array(buckets, type=pa.int32()),
                     "band": pa.array(bands, type=pa.int64()),
                     "doc_id": pa.array(ids, type=pa.int64()),
                     "simhash": pa.array(sims, type=pa.int64()),
@@ -273,21 +295,25 @@ def simhash_fingerprints(sf_dir: str, max_hamming: int = 6):
 
     banded = ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=(1, 4))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(
-            set(zip(g["doc_id"].tolist(), g["simhash"].tolist()))
-        )
-        a, b = [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if hamming64(rows[i][1] + (1 << 63), rows[j][1] + (1 << 63)) <= max_hamming:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-        return pd.DataFrame({"a": a, "b": b})
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        for _, band in g.groupby("band"):
+            rows = sorted(set(zip(band["doc_id"].tolist(), band["simhash"].tolist())))
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    if (
+                        hamming64(
+                            rows[i][1] + (1 << 63), rows[j][1] + (1 << 63)
+                        )
+                        <= max_hamming
+                    ):
+                        a_out.append(rows[i][0])
+                        b_out.append(rows[j][0])
+        return pd.DataFrame({"a": a_out, "b": b_out}).drop_duplicates()
 
     return (
-        banded.groupby("band")
-        .map_groups(pairs, batch_format="pandas")
+        banded.groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
         .groupby(["a", "b"])
         .map_groups(lambda g: g.head(1), batch_format="pandas")
     )

@@ -194,22 +194,27 @@ def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int 
         with_noisy_copies, batch_format="pyarrow"
     )
 
+    SHUFFLE_BUCKETS = 64  # coarse shuffle key; local groupby per table-bucket
+
     def bucketize(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_pylist()
         m = _normalize(_mat(batch))
         # planes regenerated per call from the fixed seed: identical in
         # every task, dimension inferred from the data
         planes = np.random.RandomState(seed).randn(n_tables, n_bits, m.shape[1])
-        out_b, out_id, out_vec = [], [], []
+        out_s, out_b, out_id, out_vec = [], [], [], []
         for t in range(n_tables):
             bits = (m @ planes[t].T) > 0  # (n, n_bits)
             keys = bits @ (1 << np.arange(n_bits))
             for i, key in enumerate(keys):
-                out_b.append(int(t * (1 << n_bits) + key))
+                full = int(t * (1 << n_bits) + key)
+                out_s.append(full % SHUFFLE_BUCKETS)
+                out_b.append(full)
                 out_id.append(ids[i])
                 out_vec.append(m[i].astype(np.float32).tolist())
         return pa.table(
             {
+                "shuffle_bucket": pa.array(out_s, type=pa.int32()),
                 "bucket": pa.array(out_b, type=pa.int64()),
                 "vec_id": pa.array(out_id, type=pa.int64()),
                 "vec": pa.array(out_vec, type=pa.list_(pa.float32())),
@@ -217,23 +222,23 @@ def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int 
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("vec_id").sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
-        m = np.stack(g["vec"].to_numpy())
-        m = _normalize(m)
-        sims = m @ m.T
-        a, b = [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    a.append(int(ids[i]))
-                    b.append(int(ids[j]))
-        return pd.DataFrame({"a": a, "b": b})
+        a_out, b_out = [], []
+        for _, grp in g.groupby("bucket"):
+            grp = grp.drop_duplicates("vec_id").sort_values("vec_id")
+            ids = grp["vec_id"].to_numpy()
+            m = _normalize(np.stack(grp["vec"].to_numpy()))
+            sims = m @ m.T
+            n = len(ids)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if sims[i, j] >= threshold:
+                        a_out.append(int(ids[i]))
+                        b_out.append(int(ids[j]))
+        return pd.DataFrame({"a": a_out, "b": b_out}).drop_duplicates()
 
     return (
         base.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
+        .groupby("shuffle_bucket")
         .map_groups(pairs, batch_format="pandas")
         .groupby(["a", "b"])
         .map_groups(lambda g: g.head(1), batch_format="pandas")

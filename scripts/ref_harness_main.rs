@@ -1,0 +1,127 @@
+// Differential-test harness over the REFERENCE's own std-only modules
+// (raw_byte, lexer, parser, object, cross_reference, trailer, util —
+// header/image need external crates and are excluded). Compiled with
+// plain rustc (no network/cargo), modules included by #[path] from the
+// read-only /root/reference tree; nothing is copied.
+//
+// Usage: ref_harness lex <file>    -> one line per token (or ERR line)
+//        ref_harness trailer <file> -> trailer fields (or ERR line)
+// Output is a stable text form compared 1:1 against the Python port by
+// tests/test_reference_differential.py.
+
+#![allow(dead_code)]
+
+mod cross_reference;
+mod lexer;
+mod object;
+mod parser;
+mod raw_byte;
+mod trailer;
+mod util;
+
+use lexer::TokenContent;
+
+fn fmt_bytes(v: &Vec<u8>) -> String {
+    v.iter()
+        .map(|b| format!("{:02x}", b))
+        .collect::<Vec<_>>()
+        .join("")
+}
+
+fn main() {
+    let args: Vec<String> = std::env::args().collect();
+    let mode = &args[1];
+    let path = &args[2];
+    let buf = std::fs::read(path).unwrap();
+
+    if mode == "lex" {
+        run_lex(&buf);
+        return;
+    }
+
+fn fmt_token(tok: &lexer::Token) -> String {
+    let desc = match tok.content() {
+                        TokenContent::Eol => "eol".to_string(),
+                        TokenContent::Boolean(b) => format!("bool {}", b),
+                        TokenContent::Integer(i) => format!("int {}", i),
+                        TokenContent::Real(r) => format!("real {:?}", r),
+                        TokenContent::HexStr(v) => format!("hexstr {}", fmt_bytes(v)),
+                        TokenContent::String(v) => format!("str {}", fmt_bytes(v)),
+                        TokenContent::Name(s) => format!("name {}", s),
+                        TokenContent::DictStart => "dict_start".to_string(),
+                        TokenContent::DictEnd => "dict_end".to_string(),
+                        TokenContent::ArrayStart => "arr_start".to_string(),
+                        TokenContent::ArrayEnd => "arr_end".to_string(),
+                        TokenContent::Null => "null".to_string(),
+                        TokenContent::IndirectRef(o, g) => format!("iref {} {}", o, g),
+                        TokenContent::IndirectObjStart(o, g) => {
+                            format!("iobj_start {} {}", o, g)
+                        }
+                        TokenContent::IndirectObjEnd => "iobj_end".to_string(),
+        TokenContent::StreamObjStart(off) => {
+            format!("stream_start {}", off)
+        }
+    };
+    format!("{} @{}", desc, tok.byte_offset)
+}
+
+fn run_lex(buf: &[u8]) {
+    let mut lx = lexer::Lexer::new(buf, 0);
+    match lx.tokenize() {
+        Ok(()) => {
+            for tok in &lx.token_vec {
+                println!("{}", fmt_token(tok));
+            }
+            println!("UNBALANCED {}", lx.has_unbalanced_indirectobj());
+        }
+        Err(e) => println!("ERR {}", e),
+    }
+}
+
+    if mode == "lexmany" {
+        // each input line: hex-encoded buffer; one output block per
+        // input, terminated by a ==== line (batch differential mode)
+        let text = String::from_utf8(buf).unwrap();
+        for line in text.lines() {
+            let bytes: Vec<u8> = (0..line.len())
+                .step_by(2)
+                .map(|i| u8::from_str_radix(&line[i..i + 2], 16).unwrap())
+                .collect();
+            if bytes.is_empty() {
+                println!("EMPTY");
+                println!("====");
+                continue;
+            }
+            let mut lx = lexer::Lexer::new(&bytes, 0);
+            match lx.tokenize() {
+                Ok(()) => {
+                    for tok in &lx.token_vec {
+                        println!("{}", fmt_token(tok));
+                    }
+                    println!("UNBALANCED {}", lx.has_unbalanced_indirectobj());
+                }
+                Err(e) => println!("ERR {}", e),
+            }
+            println!("====");
+        }
+        return;
+    }
+
+    if mode == "trailer" {
+        let mut file = std::fs::File::open(path).unwrap();
+        let size = file.metadata().unwrap().len();
+        match trailer::parse_trailer(&mut file, size) {
+            Ok(t) => {
+                let r = t.get_root_catalog_ref();
+                let (num, gen) = r.unpack();
+                println!("xref_start {}", t.xref_start_offset);
+                println!("root {} {}", num, gen);
+            }
+            Err(e) => println!("ERR {}", e),
+        }
+        return;
+    }
+
+    eprintln!("unknown mode {}", mode);
+    std::process::exit(2);
+}

@@ -219,3 +219,42 @@ def test_unbalanced_detection():
     lx = Lexer(b"1 0 obj 123", 0)
     lx.tokenize()
     assert lx.has_unbalanced_indirectobj()
+
+
+# -- differential test: optimized tokenize vs literal naive port --
+
+from hypothesis import given, settings, strategies as st
+
+_FRAGMENTS = [
+    b" ", b"\n", b"\r", b"\r\n", b"\t", b"\x0c", b"\x12", b"\x00",
+    b"1", b"12", b"+3", b"-4.5", b".", b"--", b"4.",
+    b"/Name", b"/", b"/A\xffB",
+    b"(str)", b"(a\\tb)", b"(\\053", b"(()", b"()", b"(", b")",
+    b"<a0e0>", b"<a0e>", b"<", b"<<", b">>", b">", b"<a0 e0>",
+    b"[", b"]", b"null", b"true", b"false", b"nullx",
+    b"R", b"1 0 R", b"0 0 R", b"obj", b"1 0 obj", b"endobj", b"endobjx",
+    b"stream", b"stream\n", b"stream\r\nXY", b"stream\rX",
+    b"% comment", b"%", b"qq",
+]
+
+pdfish = st.lists(st.sampled_from(_FRAGMENTS), min_size=1, max_size=12).map(
+    b"".join
+)
+
+
+def run_lexer(buf, naive):
+    lx = Lexer(buf, 7)
+    try:
+        (lx.tokenize_naive if naive else lx.tokenize)()
+        outcome = ("ok", lx.tokens, lx.has_unbalanced_indirectobj())
+    except LexerError as e:
+        outcome = ("err", e.kind, e.byte_offset, lx.tokens)
+    return outcome
+
+
+@given(pdfish)
+@settings(max_examples=1500)
+def test_tokenize_differential(buf):
+    if not buf:
+        return
+    assert run_lexer(buf, naive=False) == run_lexer(buf, naive=True)

@@ -105,3 +105,46 @@ def test_is_next_satisfy_bounds():
     assert rb.is_next_satisfy(b"ab", 0, lambda b: b == ord("b"))
     assert not rb.is_next_satisfy(b"ab", 1, lambda b: True)
     assert not rb.is_next_satisfy(b"", 0, lambda b: True)
+
+
+# -- fast-path equivalence (hypothesis property tests) --
+
+from hypothesis import given, settings, strategies as st
+
+small_bytes = st.binary(min_size=0, max_size=40)
+needles = st.binary(min_size=0, max_size=6)
+# low-entropy alphabet maximizes partial-match interruptions (the quirk zone)
+low = st.text(alphabet="ab", max_size=40).map(str.encode)
+low_needles = st.text(alphabet="ab", min_size=1, max_size=5).map(str.encode)
+
+
+@given(small_bytes, needles)
+@settings(max_examples=300)
+def test_first_match_fast_equals_reference(buf, target):
+    assert rb.first_match_index(buf, target) == rb._first_match_index_reference(
+        buf, target
+    )
+
+
+@given(low, low_needles)
+@settings(max_examples=300)
+def test_first_match_fast_equals_reference_lowentropy(buf, target):
+    assert rb.first_match_index(buf, target) == rb._first_match_index_reference(
+        buf, target
+    )
+
+
+@given(small_bytes, needles)
+@settings(max_examples=300)
+def test_last_match_fast_equals_reference(buf, target):
+    assert rb.last_match_index(buf, target) == rb._last_match_index_reference(
+        buf, target
+    )
+
+
+@given(low, low_needles)
+@settings(max_examples=300)
+def test_last_match_fast_equals_reference_lowentropy(buf, target):
+    assert rb.last_match_index(buf, target) == rb._last_match_index_reference(
+        buf, target
+    )
