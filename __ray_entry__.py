@@ -108,17 +108,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def extract_structure(sf_dir: str):
+        # restricted to classic-xref rows ((doc_id//3)//4 % 4 == 0):
+        # the object-count formula for stream/objstm/prev variants
+        # differs and is asserted in pytest instead
         ds = _extracted(sf_dir)
 
         def project(t: pa.Table) -> pa.Table:
             t = t.filter(pc.equal(t["kind"], "pdf"))
-            return pa.table(
+            ids = _doc_id_col(t["url"].to_pylist())
+            t2 = pa.table(
                 {
-                    "doc_id": _doc_id_col(t["url"].to_pylist()),
+                    "doc_id": ids,
                     "n_pages": t["n_pages"],
                     "n_objects": t["n_objects"],
                 }
             )
+            k = pc.divide(ids, pa.scalar(3, pa.int64()))
+            mask = pc.equal(
+                pc.bit_wise_and(
+                    pc.divide(k, pa.scalar(4, pa.int64())),
+                    pa.scalar(3, pa.int64()),
+                ),
+                pa.scalar(0, pa.int64()),
+            )
+            return t2.filter(mask)
 
         return ds.map_batches(project, batch_format="pyarrow")
 
@@ -213,7 +226,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(5 + CASE WHEN (doc_id // 3) % 2 = 0 THEN 1 ELSE 0 END
                           + CASE WHEN (doc_id // 3) % 4 = 3 THEN 2 ELSE 0 END
                         AS INTEGER) AS n_objects
-            FROM documents WHERE doc_id % 3 = 0
+            FROM documents
+            WHERE doc_id % 3 = 0 AND ((doc_id // 3) // 4) % 4 = 0
         """,
         "doc_stats_by_lang": """
             SELECT lang,

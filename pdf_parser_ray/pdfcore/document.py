@@ -87,12 +87,44 @@ class PdfDocument:
         self.buf = buf
         self.size = len(buf)
         self._obj_cache: dict[tuple[int, int], tuple] = {}
+        self._objstm_cache: dict[int, object] = {}
+        self.xref = None
+        self._chain = None
 
         validate_pdf_header(buf)
-        self.trailer = parse_trailer(buf, self.size)
-        self.xref = XRef(buf, self.trailer.xref_start_offset)
 
-        root_obj = self.resolve(self.trailer.root_catalog_ref)
+        from .errors import TrailerError
+        from .trailer import parse_startxref
+        from . import xrefx
+
+        try:
+            self.trailer = parse_trailer(buf, self.size)
+        except TrailerError as e:
+            if "trailer is not found" not in e.message:
+                raise
+            # no `trailer` keyword: xref-STREAM file (engine extension;
+            # the reference fails here — SURVEY.md Q8)
+            self.trailer = None
+            start = parse_startxref(buf, self.size)
+            self._chain = xrefx.XRefChain.load(self, start)
+            if self._chain.root_ref is None:
+                raise TrailerError("Root not found in xref stream chain") from None
+            root_ref = self._chain.root_ref
+        if self.trailer is not None:
+            # classic: byte-exact reference path for the newest section
+            self.xref = XRef(buf, self.trailer.xref_start_offset)
+            root_ref = self.trailer.root_catalog_ref
+            # /Prev or hybrid /XRefStm present -> build the extended
+            # chain as FALLBACK only (reference-subset docs never use it)
+            tdict = self.trailer.trailer_dict
+            d = tdict[VAL] if tdict is not None else {}
+            if "Prev" in d or "XRefStm" in d:
+                self._chain = xrefx.XRefChain.load(
+                    self, self.trailer.xref_start_offset
+                )
+
+        self.root_ref = root_ref
+        root_obj = self.resolve(root_ref)
         root_inner = ensure_iobj(root_obj)[VAL]
         root_dict = ensure_dict_with_key(root_inner, ["Type", "Pages"])
         ensure_type(root_dict, "Catalog")
@@ -109,13 +141,50 @@ class PdfDocument:
 
     # -- indirect-object resolution (V9) --
 
+    def _lookup_entry(self, indirect_ref: tuple) -> tuple:
+        """Unified xref lookup: reference-exact primary section first,
+        extended chain (xrefx) as fallback / for modern files."""
+        from .errors import XrefError
+
+        num, gen = indirect_ref[VAL]
+        if self.xref is not None:
+            try:
+                return ("n", self.xref.get_byte_offset(indirect_ref), gen)
+            except XrefError as e:
+                if self._chain is not None and "not contained" in e.message:
+                    return self._chain.lookup(num, gen)
+                raise
+        return self._chain.lookup(num, gen)
+
+    def _objstm_get(self, stm_num: int, index: int) -> tuple:
+        from . import xrefx
+        from .objects import ensure_int as _ensure_int
+
+        stm = self._objstm_cache.get(stm_num)
+        if stm is None:
+            container = self.resolve(("ref", (stm_num, 0), 0))
+            stream = ensure_stream(container)
+            d = ensure_dict_with_key(stream[VAL], ["N", "First"])
+            n = _ensure_int(d[VAL]["N"])[VAL]
+            first = _ensure_int(d[VAL]["First"])[VAL]
+            stm = xrefx.ObjStm(self.get_stream_decoded(stream), n, first)
+            self._objstm_cache[stm_num] = stm
+        return stm.get(index)
+
     def resolve(self, indirect_ref: tuple) -> tuple:
         key = indirect_ref[VAL]
         cached = self._obj_cache.get(key)
         if cached is not None:
             return cached
 
-        offset = self.xref.get_byte_offset(indirect_ref)
+        entry = self._lookup_entry(indirect_ref)
+        if entry[0] == "z":
+            # compressed object: bare object wrapped as iobj so callers
+            # (page tree, catalog) see the same shape as file objects
+            obj = ("iobj", self._objstm_get(entry[1], entry[2]), 0)
+            self._obj_cache[key] = obj
+            return obj
+        offset = entry[1]
         # window start/growth are pure performance knobs: the lexer halts
         # at endobj/stream (Q11) so an over-large window is unobservable,
         # and an under-sized one retries to the same final state. 1024 +
@@ -263,7 +332,11 @@ class PdfDocument:
 
     @property
     def n_objects(self) -> int:
-        return self.xref.entry_num
+        # trailer /Size (classic; equals the subsection count for
+        # reference-subset docs) or the chain /Size (modern files)
+        if self.trailer is not None:
+            return self.trailer.xref_entry_num
+        return self._chain.size
 
     # -- images (V14-V17 / §3.3) --
 

@@ -117,6 +117,85 @@ def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
     return bytes(out)
 
 
+def apply_png_predictor(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
+    """Undo PNG row predictors (RFC 2083 §6; PDF 1.7 Table 3.8,
+    Predictor >= 10). Used chiefly by cross-reference streams, which are
+    almost always Flate + Predictor 12 (Up) in real files.
+
+    Row layout: 1 tag byte + columns*colors*bpc/8 data bytes.
+    """
+    bpp = max(1, (colors * bpc) // 8)
+    row_len = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(row_len)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        tag = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + row_len])
+        pos += 1 + row_len
+        if tag == 0:
+            pass
+        elif tag == 1:  # Sub
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise FilterError(f"unsupported PNG predictor row tag {tag}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def apply_predictor(data: bytes, parm: dict) -> bytes:
+    """Dispatch /DecodeParms Predictor after a Flate/LZW decode."""
+    predictor = int(parm.get("Predictor", 1))
+    if predictor <= 1:
+        return data
+    colors = int(parm.get("Colors", 1))
+    bpc = int(parm.get("BitsPerComponent", 8))
+    columns = int(parm.get("Columns", 1))
+    if predictor >= 10:
+        return apply_png_predictor(data, colors, bpc, columns)
+    if predictor == 2:  # TIFF horizontal differencing (8-bit only here)
+        if bpc != 8:
+            raise FilterError("TIFF predictor requires 8-bit components")
+        row_len = columns * colors
+        out = bytearray(data)
+        for r in range(0, len(out), row_len):
+            for i in range(r + colors, min(r + row_len, len(out))):
+                out[i] = (out[i] + out[i - colors]) & 0xFF
+        return bytes(out)
+    raise FilterError(f"unsupported predictor {predictor}")
+
+
+def png_predict_up(data: bytes, columns: int) -> bytes:
+    """Encoder counterpart (Predictor 12/Up; used to build fixtures)."""
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(data), columns):
+        row = data[r : r + columns]
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
 def dct_decode(data: bytes):
     """DCTDecode (JPEG) — STUB.
 
@@ -149,8 +228,10 @@ def decode_stream(data: bytes, filter_names: list[str], parms: list[dict] | None
         parm = (parms[i] if parms and i < len(parms) else None) or {}
         if name == "LZWDecode":
             out = lzw_decode(out, early_change=int(parm.get("EarlyChange", 1)))
-        elif name in _FILTERS:
-            out = _FILTERS[name](out)
+            out = apply_predictor(out, parm)
+        elif name == "FlateDecode":
+            out = flate_decode(out)
+            out = apply_predictor(out, parm)
         elif name == "DCTDecode":
             out = dct_decode(out)
         else:

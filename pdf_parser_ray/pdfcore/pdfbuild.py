@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import zlib
 
-from .filters import lzw_encode
+from .filters import lzw_encode, png_predict_up
 
 
 def escape_literal_string(data: bytes) -> bytes:
@@ -44,6 +44,7 @@ class _Writer:
         self.parts: list[bytes] = [b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"]
         self.pos = len(self.parts[0])
         self.offsets: dict[int, int] = {}
+        self.objstm_members: dict[int, tuple[int, int]] = {}
         self.next_num = 1
 
     def alloc(self) -> int:
@@ -69,6 +70,24 @@ class _Writer:
         )
         self.add(num, body)
 
+    def add_objstm(self, container_num: int, members: list[tuple[int, bytes]]) -> None:
+        """Pack (num, body) dict objects into one /Type /ObjStm stream;
+        records type-2 xref entries for the members."""
+        header = bytearray()
+        data = bytearray()
+        for num, body in members:
+            header += b"%d %d " % (num, len(data))
+            data += body + b"\n"
+        first = len(header)
+        payload = bytes(header) + bytes(data)
+        for idx, (num, _) in enumerate(members):
+            self.objstm_members[num] = (container_num, idx)
+        self.add_stream(
+            container_num,
+            b"/Type /ObjStm /N %d /First %d" % (len(members), first),
+            payload,
+        )
+
     def finish(self, root_num: int) -> bytes:
         xref_pos = self.pos
         count = self.next_num
@@ -80,6 +99,33 @@ class _Writer:
             % (count, root_num, xref_pos)
         )
         return b"".join(self.parts) + b"".join(xref) + trailer
+
+    def finish_xref_stream(self, root_num: int, compress: bool = True) -> bytes:
+        """Terminate with a PDF 1.5 cross-reference STREAM (no trailer
+        keyword): /W [1 4 2] rows, optionally Flate + PNG Up predictor
+        (Predictor 12) — the layout real producers emit."""
+        xnum = self.alloc()
+        xref_stream_pos = self.pos
+        count = self.next_num
+        rows = bytearray()
+        rows += b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        for num in range(1, count):
+            member = self.objstm_members.get(num)
+            if member is not None:
+                stm_num, idx = member
+                rows += b"\x02" + stm_num.to_bytes(4, "big") + idx.to_bytes(2, "big")
+            else:
+                off = xref_stream_pos if num == xnum else self.offsets[num]
+                rows += b"\x01" + off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+        extra = b"/Type /XRef /Size %d /W [ 1 4 2 ] /Root %d 0 R" % (count, root_num)
+        if compress:
+            data = zlib.compress(png_predict_up(bytes(rows), 7))
+            extra += b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >>"
+        else:
+            data = bytes(rows)
+        self.add_stream(xnum, extra, data)
+        tail = b"startxref\n%d\n%%%%EOF\n" % xref_stream_pos
+        return b"".join(self.parts) + tail
 
 
 def _cmap_stream(chars: list[str]) -> tuple[bytes, dict[str, int]]:
@@ -136,19 +182,47 @@ def build_text_pdf(
     show_variant: str = "tj",         # tj | tj_split | hex | cmap
     stream_filter: str = "none",      # none | flate | lzw
     indirect_length: bool = False,
+    xref_kind: str = "classic",       # classic | stream | objstm | prev
 ) -> bytes:
     """A PDF whose extracted text (textextract rules) is exactly ``text``.
 
     ``text`` splits at \\n into lines; lines chunk into pages of
     ``page_size``; extraction joins lines and pages back with \\n, so
     the roundtrip is the identity for any variant combination.
+
+    ``xref_kind``: classic table (reference subset); PDF 1.5 xref
+    STREAM (Flate + Predictor 12); ``objstm`` additionally packs every
+    dict object (catalog/pages/page/font) into an object stream with
+    type-2 entries; ``prev`` appends an incremental update whose new
+    classic section chains to the base via /Prev.
     """
+    if xref_kind == "prev":
+        return _append_incremental(
+            build_text_pdf(
+                text,
+                page_size=page_size,
+                show_variant=show_variant,
+                stream_filter=stream_filter,
+                indirect_length=indirect_length,
+                xref_kind="classic",
+            )
+        )
+
     if isinstance(text, str):
         text = text.encode("utf-8")
     lines = text.split(b"\n")
     pages = [lines[i : i + page_size] for i in range(0, len(lines), page_size)] or [[b""]]
 
     w = _Writer()
+    use_objstm = xref_kind == "objstm"
+    objstm_members: list[tuple[int, bytes]] = []
+
+    def emit_dict(num: int, body: bytes) -> None:
+        if use_objstm:
+            objstm_members.append((num, body))
+        else:
+            w.add(num, body)
+
     catalog = w.alloc()
     pages_num = w.alloc()
 
@@ -162,7 +236,7 @@ def build_text_pdf(
         font_num = w.alloc()
         cmap_num = w.alloc()
         cmap_bytes, enc = _cmap_stream(chars)
-        w.add(
+        emit_dict(
             font_num,
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
             b"/ToUnicode %d 0 R >>" % cmap_num,
@@ -193,7 +267,7 @@ def build_text_pdf(
                 b"/Resources << /Font << /F1 << /Type /Font /Subtype /Type1 "
                 b"/BaseFont /Helvetica >> >> >>"
             )
-        w.add(
+        emit_dict(
             page_num,
             b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] %s "
             b"/Contents %d 0 R >>" % (pages_num, res, content_num),
@@ -204,12 +278,44 @@ def build_text_pdf(
         page_nums.append(page_num)
 
     kids = b" ".join(b"%d 0 R" % p for p in page_nums)
-    w.add(catalog, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
-    w.add(
+    emit_dict(catalog, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    emit_dict(
         pages_num,
         b"<< /Type /Pages /Kids [ %s ] /Count %d >>" % (kids, len(page_nums)),
     )
+
+    if use_objstm:
+        container = w.alloc()
+        w.add_objstm(container, objstm_members)
+    if xref_kind in ("stream", "objstm"):
+        return w.finish_xref_stream(catalog)
     return w.finish(catalog)
+
+
+def _append_incremental(base: bytes) -> bytes:
+    """Incremental update: re-emit the catalog (object 1) at the end
+    with a one-entry classic section chaining via /Prev. The reference
+    resolves the catalog through the NEW section but errors NotContain
+    on everything else (quirk Q8); the engine follows the chain."""
+    old_startxref = int(
+        base.rsplit(b"startxref", 1)[1].split(b"%%EOF")[0].strip()
+    )
+    size = int(base.rsplit(b"/Size ", 1)[1].split(b" ", 1)[0].split(b"/")[0])
+    # the update must span > 1024 bytes so the base %%EOF leaves the
+    # reference's last-1024 trailer window (src/trailer.rs:24-27) — in
+    # real incremental files the appended content guarantees this;
+    # comment lines are the spec-legal filler
+    pad = (b"%" + b"p" * 78 + b"\n") * 14
+    base = base + pad
+    upd_obj = b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    obj_off = len(base)
+    xref_pos = obj_off + len(upd_obj)
+    tail = (
+        b"xref\n1 1\n%010d %05d n\r\n"
+        b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (obj_off, 0, size, old_startxref, xref_pos)
+    )
+    return base + upd_obj + tail
 
 
 def build_image_pdf(images: list[dict]) -> bytes:

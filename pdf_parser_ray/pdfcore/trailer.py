@@ -23,12 +23,21 @@ from .parser import Parser
 
 
 class Trailer:
-    __slots__ = ("xref_start_offset", "xref_entry_num", "root_catalog_ref")
+    __slots__ = (
+        "xref_start_offset",
+        "xref_entry_num",
+        "root_catalog_ref",
+        "trailer_dict",
+    )
 
-    def __init__(self, xref_start_offset, xref_entry_num, root_catalog_ref):
+    def __init__(self, xref_start_offset, xref_entry_num, root_catalog_ref,
+                 trailer_dict=None):
         self.xref_start_offset = xref_start_offset
         self.xref_entry_num = xref_entry_num
         self.root_catalog_ref = root_catalog_ref
+        # full parsed dict retained for the /Prev-/XRefStm extension
+        # (xrefx.py); the reference only extracts Size/Root
+        self.trailer_dict = trailer_dict
 
 
 def parse_trailer(buf: bytes, filesize: int) -> Trailer:
@@ -50,7 +59,20 @@ def parse_trailer(buf: bytes, filesize: int) -> Trailer:
 
     xref_start_offset = _parse_xref_offset(window, byte_offset)
 
-    return Trailer(xref_start_offset, xref_entry_num, root_catalog_ref)
+    return Trailer(
+        xref_start_offset, xref_entry_num, root_catalog_ref, trailer_dict
+    )
+
+
+def parse_startxref(buf: bytes, filesize: int) -> int:
+    """startxref offset only — for trailer-less xref-stream files
+    (engine extension; the reference requires a ``trailer`` keyword)."""
+    byte_offset = max(filesize, 1024) - 1024
+    window = bytes(buf[byte_offset : byte_offset + 1024])
+    window = rawbyte.cut_from(window, b"%%EOF")
+    if window is None:
+        raise TrailerError("EOF marker is not found")
+    return _parse_xref_offset(window, byte_offset)
 
 
 def _parse_xref_offset(window: bytes, byte_offset: int) -> int:

@@ -8,8 +8,10 @@ the sf directory and every byte is a pure function of ``doc_id``:
 - ``doc_id % 3 == 0`` -> synthetic PDF wrapping the document text; the
   representation cycles through every byte path (literal Tj / split TJ
   / hex strings / ToUnicode CMap x flate / raw / LZW x direct or
-  indirect /Length) WITHOUT changing the extracted text, so the
-  driver's oracle comparison exercises the whole parser
+  indirect /Length x classic xref / xref STREAM with Predictor 12 /
+  ObjStm / incremental-update /Prev chain) WITHOUT changing the
+  extracted text, so the driver's oracle comparison exercises the
+  whole parser including the PDF 1.5 paths the reference lacks
 - ``doc_id % 3 == 1`` -> HTML page wrapping the text in boilerplate
   (nav/footer/script/style/aside); half the rows entity-encode ``e``
 - ``doc_id % 3 == 2`` -> junk payloads (empty / GIF / PNG / ZIP
@@ -33,12 +35,13 @@ import pyarrow as pa
 from ..pdfcore.pdfbuild import build_text_pdf
 
 # bump when generation rules change (invalidates /tmp caches)
-GENVER = "v3"
+GENVER = "v4"
 
 _BASE_TS_US = 1704067200 * 1_000_000  # 2024-01-01T00:00:00Z in epoch micros
 
 _SHOW_VARIANTS = ("tj", "tj_split", "hex", "cmap")
 _FILTERS = ("flate", "none", "lzw")
+_XREF_KINDS = ("classic", "stream", "objstm", "prev")
 
 
 def _escape_html(s: str) -> str:
@@ -52,6 +55,7 @@ def make_pdf_payload(doc_id: int, text: str) -> bytes:
         show_variant=_SHOW_VARIANTS[k % 4],
         stream_filter=_FILTERS[k % 3],
         indirect_length=(k % 2 == 0),
+        xref_kind=_XREF_KINDS[(k // 4) % 4],
     )
 
 

@@ -85,6 +85,21 @@ class Extractor:
         for kind, payload in zip(kinds, payloads):
             if payload is None:
                 payload = b""
+            if len(payload) > GIANT_ROW_BYTES:
+                # skew guard (SURVEY.md §4): a multi-GiB document must
+                # not stall a worker in the main pool; at fleet scale
+                # these rows re-queue to a dedicated low-concurrency
+                # job keyed off this error tag
+                oks.append(False)
+                errors.append(
+                    f"giant: payload of {len(payload)} bytes exceeds the "
+                    f"{GIANT_ROW_BYTES}-byte main-pool cap"
+                )
+                texts.append(b"")
+                spans_col.append([])
+                n_pages.append(0)
+                n_objects.append(0)
+                continue
             try:
                 if kind == "pdf":
                     text, spans, np_, no_ = extract_pdf(payload, self.cmap_cache)
