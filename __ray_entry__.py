@@ -135,6 +135,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(project, batch_format="pyarrow")
 
+    def distinct_langs(sf_dir: str):
+        import os
+
+        import pandas as pd
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+        )
+        return pd.DataFrame({"lang": sorted(ds.unique("lang"))})
+
+    def partition_metrics_q(sf_dir: str):
+        from pdf_parser_ray.pipelines.extract_pipeline import partition_metrics
+
+        return partition_metrics(_extracted(sf_dir))
+
     return {
         # extraction family (synthetic Common-Crawl-style pages table)
         "route_counts": route_counts,
@@ -164,8 +180,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": similarity.embedding_dup_pairs,
         "embedding_dup_pairs_lsh": similarity.lsh_bucketed_dup_pairs,  # rows-only
         "ann_topk": similarity.ann_topk,
-        # multimodal (binary payload metadata; decode stubbed)
+        # multimodal / images (real Flate decode; JPEG stubbed)
         "media_meta": multimodal.media_meta,                # rows-only
+        "pdf_image_stats": multimodal.pdf_image_stats,
+        # set ops / diagnostics
+        "distinct_langs": distinct_langs,
+        "partition_metrics": partition_metrics_q,           # rows-only
     }
 
 
@@ -225,9 +245,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INTEGER) AS n_pages,
                    CAST(5 + CASE WHEN (doc_id // 3) % 2 = 0 THEN 1 ELSE 0 END
                           + CASE WHEN (doc_id // 3) % 4 = 3 THEN 2 ELSE 0 END
+                          + CASE WHEN (doc_id // 3) % 5 = 0 THEN
+                                (CASE WHEN (doc_id // 3) % 10 = 0 THEN 2 ELSE 1 END)
+                            ELSE 0 END
                         AS INTEGER) AS n_objects
             FROM documents
             WHERE doc_id % 3 = 0 AND ((doc_id // 3) // 4) % 4 = 0
+        """,
+        "pdf_image_stats": """
+            SELECT doc_id,
+                   CAST(1 AS BIGINT) AS n_images,
+                   CAST(2 + doc_id % 7 AS BIGINT) AS img_w,
+                   CAST(3 + doc_id % 5 AS BIGINT) AS img_h,
+                   TRUE AS rgb_ok
+            FROM documents
+            WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 = 0
+        """,
+        "distinct_langs": """
+            SELECT DISTINCT lang FROM documents
         """,
         "doc_stats_by_lang": """
             SELECT lang,

@@ -183,6 +183,7 @@ def build_text_pdf(
     stream_filter: str = "none",      # none | flate | lzw
     indirect_length: bool = False,
     xref_kind: str = "classic",       # classic | stream | objstm | prev
+    image: dict | None = None,        # {width, height, pixels, smask_pixels?}
 ) -> bytes:
     """A PDF whose extracted text (textextract rules) is exactly ``text``.
 
@@ -205,6 +206,7 @@ def build_text_pdf(
                 stream_filter=stream_filter,
                 indirect_length=indirect_length,
                 xref_kind="classic",
+                image=image,
             )
         )
 
@@ -243,6 +245,34 @@ def build_text_pdf(
         )
         w.add_stream(cmap_num, b"", cmap_bytes)
 
+    # optional DeviceRGB Flate image XObject (+ optional SMask pair) on
+    # page 1 — text extraction is unaffected; exercises V12-V17
+    image_clause = b""
+    if image is not None:
+        smask_clause = b""
+        if image.get("smask_pixels") is not None:
+            smask_num = w.alloc()
+            w.add_stream(
+                smask_num,
+                b"/Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode"
+                % (image["width"], image["height"]),
+                zlib.compress(image["smask_pixels"]),
+            )
+            smask_clause = b" /SMask %d 0 R" % smask_num
+        img_num = w.alloc()
+        w.add_stream(
+            img_num,
+            b"/Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode%s"
+            % (image["width"], image["height"], smask_clause),
+            zlib.compress(image["pixels"]),
+        )
+        entries = b"/Im0 %d 0 R" % img_num
+        if image.get("smask_pixels") is not None:
+            entries += b" /Sm0 %d 0 R" % smask_num
+        image_clause = b" /XObject << %s >>" % entries
+
     page_nums = []
     for page_lines in pages:
         page_num = w.alloc()
@@ -260,12 +290,13 @@ def build_text_pdf(
             data = content
             filt = b""
 
+        xobj = image_clause if not page_nums else b""  # page 1 only
         if font_num is not None:
-            res = b"/Resources << /Font << /F1 %d 0 R >> >>" % font_num
+            res = b"/Resources << /Font << /F1 %d 0 R >>%s >>" % (font_num, xobj)
         else:
             res = (
                 b"/Resources << /Font << /F1 << /Type /Font /Subtype /Type1 "
-                b"/BaseFont /Helvetica >> >> >>"
+                b"/BaseFont /Helvetica >> >>%s >>" % xobj
             )
         emit_dict(
             page_num,

@@ -91,6 +91,70 @@ class MediaMeta:
         )
 
 
+class PdfImageStats:
+    """Actor stage: decode image XObjects of image-bearing pdf rows
+    (V12-V17 incl. the SMask anti-join) and verify pixels in-engine.
+
+    Emits one row per document that contains images: (doc_id, n_images,
+    img_w, img_h, rgb_ok) where rgb_ok asserts the decoded RGB bytes
+    equal the deterministic synthesis pixels.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.document import PdfDocument
+        from ..pdfcore.errors import PdfError
+        from ..sources.synth import image_pixels
+
+        ids, n_imgs, ws, hs, oks = [], [], [], [], []
+        for url, payload in zip(
+            batch["url"].to_pylist(), batch["html"].to_pylist()
+        ):
+            if not payload or not payload.startswith(b"%PDF-"):
+                continue
+            doc_id = int(url.rsplit("/", 1)[1])
+            try:
+                doc = PdfDocument(payload)
+                images = [
+                    img
+                    for page_images in doc.extract_images(
+                        list(range(1, len(doc.pages) + 1))
+                    )
+                    for img in page_images
+                ]
+            except PdfError:
+                continue
+            if not images:
+                continue
+            first = images[0]
+            expected = image_pixels(
+                doc_id, first["width"] * first["height"] * 3
+            )
+            ids.append(doc_id)
+            n_imgs.append(len(images))
+            ws.append(first["width"])
+            hs.append(first["height"])
+            oks.append(first["rgb"] == expected)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_images": pa.array(n_imgs, type=pa.int64()),
+                "img_w": pa.array(ws, type=pa.int64()),
+                "img_h": pa.array(hs, type=pa.int64()),
+                "rgb_ok": pa.array(oks, type=pa.bool_()),
+            }
+        )
+
+
+def pdf_image_stats(sf_dir: str):
+    """Image-extraction capability over the synthetic corpus."""
+    from ..sources.synth import read_pages
+
+    pages = read_pages(sf_dir)
+    return pages.map_batches(
+        PdfImageStats, batch_format="pyarrow", batch_size=128, concurrency=(1, 4)
+    )
+
+
 def media_meta(sf_dir: str):
     """Media metadata over the synthetic pages table's binary column."""
     from ..sources.synth import read_pages

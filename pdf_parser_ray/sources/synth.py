@@ -35,7 +35,7 @@ import pyarrow as pa
 from ..pdfcore.pdfbuild import build_text_pdf
 
 # bump when generation rules change (invalidates /tmp caches)
-GENVER = "v4"
+GENVER = "v5"
 
 _BASE_TS_US = 1704067200 * 1_000_000  # 2024-01-01T00:00:00Z in epoch micros
 
@@ -48,14 +48,36 @@ def _escape_html(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
+def image_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic image size for image-bearing pdf rows (SQL-expressible)."""
+    return 2 + doc_id % 7, 3 + doc_id % 5
+
+
+def image_pixels(doc_id: int, n: int) -> bytes:
+    return bytes((doc_id * 7 + i) % 256 for i in range(n))
+
+
 def make_pdf_payload(doc_id: int, text: str) -> bytes:
     k = doc_id // 3
+    image = None
+    if k % 5 == 0:
+        # every 5th pdf row carries a DeviceRGB Flate image XObject;
+        # every 10th additionally an /SMask pair (V12-V17 + J2 coverage)
+        w_, h_ = image_dims(doc_id)
+        image = {
+            "width": w_,
+            "height": h_,
+            "pixels": image_pixels(doc_id, w_ * h_ * 3),
+        }
+        if k % 10 == 0:
+            image["smask_pixels"] = image_pixels(doc_id + 1, w_ * h_)
     return build_text_pdf(
         text.encode("utf-8"),
         show_variant=_SHOW_VARIANTS[k % 4],
         stream_filter=_FILTERS[k % 3],
         indirect_length=(k % 2 == 0),
         xref_kind=_XREF_KINDS[(k // 4) % 4],
+        image=image,
     )
 
 
