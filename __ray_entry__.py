@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": relational.doc_stats_by_lang,
         "lineitem_agg": relational.lineitem_agg,
         "orders_by_nation": relational.orders_by_nation,
+        "orders_join_native": relational.orders_join_native,
         "top_docs_by_chars": relational.top_docs_by_chars,
         "events_hourly": relational.events_hourly,
         "sessions_per_user": relational.sessions_per_user,
@@ -286,6 +287,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        """,
+        "orders_join_native": """
+            SELECT c.c_mktsegment AS c_mktsegment,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
         """,
         "top_docs_by_chars": """

@@ -41,38 +41,53 @@ def lzw_decode(
     ``early_change`` is 1 (the spec default)."""
     CLEAR, EOD = 256, 257
     out = bytearray()
-    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    base_table = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base_table)
+    append = table.append
     prev: bytes | None = None
     width = 9
+    limit = 1 << 9
     acc = 0
     nbits = 0
-    for byte in data:
-        acc = (acc << 8) | byte
-        nbits += 8
-        while nbits >= width:
-            code = (acc >> (nbits - width)) & ((1 << width) - 1)
-            nbits -= width
-            if code == CLEAR:
-                table = [bytes([i]) for i in range(256)] + [b"", b""]
-                prev = None
-                width = 9
-                continue
-            if code == EOD:
-                return bytes(out)
-            if code < len(table):
-                entry = table[code]
-            elif code == len(table) and prev is not None:
-                entry = prev + prev[:1]
-            else:
-                raise FilterError(f"LZWDecode: invalid code {code}")
-            out += entry
-            if len(out) > max_bytes:
-                raise FilterError("LZWDecode output exceeds safety cap")
-            if prev is not None:
-                table.append(prev + entry[:1])
-            prev = entry
-            if len(table) + early_change >= (1 << width) and width < 12:
-                width += 1
+    # bit reader windowed per code-width run: the accumulator tops up
+    # from the byte stream only when short (python loop per CODE, C
+    # arithmetic per byte; O(n) regardless of stream size)
+    total_bits = len(data) * 8
+    pos = 0          # absolute bit position
+    byte_pos = 0     # bytes consumed into acc
+    while pos + width <= total_bits:
+        while nbits < width:
+            acc = (acc << 8) | data[byte_pos]
+            byte_pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & (limit - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        pos += width
+        if code == CLEAR:
+            del table[258:]
+            prev = None
+            width = 9
+            limit = 512
+            continue
+        if code == EOD:
+            return bytes(out)
+        n = len(table)
+        if code < n:
+            entry = table[code]
+        elif code == n and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise FilterError(f"LZWDecode: invalid code {code}")
+        out += entry
+        if len(out) > max_bytes:
+            raise FilterError("LZWDecode output exceeds safety cap")
+        if prev is not None:
+            append(prev + entry[:1])
+        prev = entry
+        if len(table) + early_change >= limit and width < 12:
+            width += 1
+            limit = 1 << width
     return bytes(out)
 
 

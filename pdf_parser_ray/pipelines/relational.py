@@ -148,6 +148,51 @@ def orders_by_nation(sf_dir: str):
     )
 
 
+def orders_join_native(sf_dir: str):
+    """Large-large hash join via Ray Data's native ``Dataset.join``
+    (hash-partitioned on the key): orders |X| customer -> per-segment
+    order counts + revenue cents. Complements the broadcast join above
+    for the case where neither side fits a broadcast."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "revenue_cents": _cents(t["o_totalprice"]),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        g = t2.group_by("c_mktsegment").aggregate(
+            [("revenue_cents", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(["c_mktsegment", "revenue_cents", "n_orders"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+
 def top_docs_by_chars(sf_dir: str, k: int = 10):
     """sort + limit with deterministic tie-break (n_chars desc, doc_id asc)."""
     import ray.data

@@ -258,3 +258,22 @@ def test_tokenize_differential(buf):
     if not buf:
         return
     assert run_lexer(buf, naive=False) == run_lexer(buf, naive=True)
+
+
+@given(st.binary(max_size=60))
+@settings(max_examples=400)
+def test_escape_roundtrip(data):
+    """SURVEY §5.5: unescape∘escape is the identity on arbitrary bytes."""
+    from pdf_parser_ray.pdfcore.pdfbuild import escape_literal_string
+
+    assert parse_string(escape_literal_string(data)) == data
+
+
+@given(st.binary(max_size=60))
+@settings(max_examples=400)
+def test_escaped_string_lexes_balanced(data):
+    """An escaped literal string always lexes to exactly its bytes."""
+    from pdf_parser_ray.pdfcore.pdfbuild import escape_literal_string
+
+    toks = tokens_of(b"(" + escape_literal_string(data) + b") ")
+    assert toks == [("str", data, 0)]
