@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_text": dedup.exact_dedup_text,
         "exact_dedup_key": dedup.exact_dedup_key,
         "minhash_exact_pairs": lambda sf: dedup.minhash_dup_pairs(sf, threshold=0.999),
+        "dedup_clusters": dedup.dedup_clusters,
+        "sample_10pct": relational.sample_10pct,
         "minhash_near_pairs": lambda sf: dedup.minhash_dup_pairs(sf, threshold=0.5),  # rows-only
         "simhash_pairs": dedup.simhash_fingerprints,        # rows-only
         # similarity / embeddings
@@ -351,6 +353,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS a, b.doc_id AS b
             FROM corpus a JOIN corpus b
               ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "dedup_clusters": _DUP_CORPUS
+        + """
+            SELECT doc_id, cluster_id FROM (
+              SELECT doc_id,
+                     MIN(doc_id) OVER (PARTITION BY text) AS cluster_id,
+                     COUNT(*) OVER (PARTITION BY text) AS n
+              FROM corpus
+            ) WHERE n > 1
+        """,
+        "sample_10pct": """
+            SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 0
         """,
         "embedding_dup_pairs": _EMB_CORPUS
         + """

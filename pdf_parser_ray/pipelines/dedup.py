@@ -259,6 +259,36 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
     )
 
 
+def dedup_clusters(sf_dir: str, threshold: float = 0.999):
+    """Connected components over verified duplicate pairs: (doc_id,
+    cluster_id) for every document in a component of size > 1, with
+    cluster_id = min doc_id of the component.
+
+    The pair set is a vanishing fraction of the corpus (LSH + verify
+    already ran), so components resolve with driver-side union-find —
+    the guide's documented fallback for provably-small candidate sets;
+    at larger pair volumes swap in iterative min-label propagation
+    (groupby rounds) with the same output contract."""
+    pairs = minhash_dup_pairs(sf_dir, threshold=threshold).take_all()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["a"]), find(r["b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+
+    rows = sorted((doc, find(doc)) for doc in parent)
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+
+
 def simhash_fingerprints(sf_dir: str, max_hamming: int = 6):
     """SimHash near-dup pairs over the dup corpus: bucket by the four
     16-bit simhash bands (any pair within hamming<=6 shares at least

@@ -253,6 +253,25 @@ def sessions_per_user(sf_dir: str, gap_sec: int = 1800):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def sample_10pct(sf_dir: str):
+    """Deterministic 10% sample (doc_id % 10 == 0) — the reproducible
+    stand-in for ``ds.random_sample(0.1, seed=...)`` whose row set a
+    SQL oracle can state exactly. Vectorized filter inside map_batches
+    (faster than ds.filter's per-row path)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        # x % 10 via x - (x // 10) * 10 (pyarrow lacks a modulo kernel)
+        ten = pa.scalar(10, pa.int64())
+        mod = pc.subtract(ids, pc.multiply(pc.divide(ids, ten), ten))
+        return t.filter(pc.equal(mod, pa.scalar(0, pa.int64())))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def route_counts_ds(extracted_ds):
     """kind -> row count over an extraction output Dataset."""
     from ray.data.aggregate import Count
