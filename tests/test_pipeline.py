@@ -147,3 +147,43 @@ def test_media_meta_stub(ray_session):
     assert gif and all(r["decoded"] and r["width"] > 0 for r in gif)
     pdf = [r for r in out if r["mime"] == "application/pdf"]
     assert all(not r["decoded"] for r in pdf)  # stub has no pdf decoder
+
+
+def test_giant_row_guard(ray_session):
+    """Payloads over the cap produce a tagged error row, never stall."""
+    import ray.data
+
+    from pdf_parser_ray.stages.extract import GIANT_ROW_BYTES, Extractor
+    from pdf_parser_ray.stages.route import make_router
+
+    big = b"%PDF-" + b"\0" * (GIANT_ROW_BYTES + 1)
+    t = pa.table(
+        {
+            "url": ["https://x.example/p/1"],
+            "warc_ts": pa.array([0], pa.int64()).cast(pa.timestamp("us")),
+            "html": pa.array([big], pa.binary()),
+            "text": [""],
+            "lang": ["en"],
+        }
+    )
+    out = Extractor()(make_router(8)(t))
+    assert out["ok"][0].as_py() is False
+    assert "giant" in out["error"][0].as_py()
+
+
+def test_spans_survive_parquet_roundtrip(ray_session, pages_path, tmp_path):
+    import ray.data
+
+    from pdf_parser_ray.pipelines.extract_pipeline import build_extract_ds
+
+    out_dir = str(tmp_path / "spans")
+    build_extract_ds(
+        ray.data.read_parquet(pages_path), num_partitions=8, concurrency=2
+    ).write_parquet(out_dir)
+    back = ray.data.read_parquet(out_dir).take_all()
+    pdf_rows = [r for r in back if r["kind"] == "pdf" and r["ok"]]
+    assert pdf_rows
+    for r in pdf_rows[:20]:
+        spans = r["spans"]
+        assert spans and spans[0]["kind"] == "page"
+        assert spans[-1]["end"] == len(r["text"])
