@@ -231,6 +231,26 @@ def build_text_pdf(
     enc = None
     font_num = None
     cmap_num = None
+    inline_font = None
+    if show_variant == "encdiff":
+        # simple font with /Encoding /Differences (no ToUnicode): codes
+        # 33.. map to AGL glyph names of the text's characters; the
+        # font dict stays INLINE so the object count matches the plain
+        # variants (extract_structure oracle invariance)
+        from .encodings import CHAR_TO_GLYPH
+
+        chars = sorted({c for line in lines for c in line.decode("utf-8")})
+        missing = [c for c in chars if c not in CHAR_TO_GLYPH]
+        if missing:
+            raise ValueError(f"encdiff variant lacks glyph names for {missing!r}")
+        if len(chars) > 200:
+            raise ValueError("encdiff variant supports <=200 distinct chars")
+        enc = {c: 33 + i for i, c in enumerate(chars)}
+        diff = b" ".join(b"/" + CHAR_TO_GLYPH[c].encode() for c in chars)
+        inline_font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding << /Type /Encoding /Differences [ 33 %s ] >> >>" % diff
+        )
     if show_variant == "cmap":
         chars = sorted({c for line in lines for c in line.decode("utf-8")})
         if len(chars) > 256:
@@ -293,6 +313,8 @@ def build_text_pdf(
         xobj = image_clause if not page_nums else b""  # page 1 only
         if font_num is not None:
             res = b"/Resources << /Font << /F1 %d 0 R >>%s >>" % (font_num, xobj)
+        elif inline_font is not None:
+            res = b"/Resources << /Font << /F1 %s >>%s >>" % (inline_font, xobj)
         else:
             res = (
                 b"/Resources << /Font << /F1 << /Type /Font /Subtype /Type1 "

@@ -311,10 +311,11 @@ class ToUnicodeCMap:
 
 
 class _Font:
-    __slots__ = ("cmap",)
+    __slots__ = ("cmap", "enc_map")
 
-    def __init__(self, cmap: ToUnicodeCMap | None):
+    def __init__(self, cmap: ToUnicodeCMap | None, enc_map: dict | None = None):
         self.cmap = cmap
+        self.enc_map = enc_map  # code -> unicode char (simple fonts)
 
 
 def _page_fonts(doc, page, cmap_cache: dict | None = None) -> dict[str, _Font]:
@@ -360,8 +361,37 @@ def _page_fonts(doc, page, cmap_cache: dict | None = None) -> dict[str, _Font]:
                     cmap_cache[key] = cmap
             else:
                 cmap = ToUnicodeCMap(doc.get_stream_decoded(stream))
-        fonts[name] = _Font(cmap)
+        enc_map = None
+        if cmap is None and font_dict[TAG] == "dict":
+            enc_map = _encoding_map(doc, font_dict[VAL].get("Encoding"))
+        fonts[name] = _Font(cmap, enc_map)
     return fonts
+
+
+def _encoding_map(doc, enc_obj) -> dict | None:
+    """Simple-font /Encoding (name or dict with BaseEncoding +
+    /Differences) -> code->char map; None = raw byte passthrough."""
+    from .encodings import build_code_map
+
+    if enc_obj is None:
+        return None
+    if enc_obj[TAG] == "ref":
+        enc_obj = ensure_iobj(doc.resolve(enc_obj))[VAL]
+    if enc_obj[TAG] == "name":
+        return build_code_map(enc_obj[VAL], [])
+    if enc_obj[TAG] != "dict":
+        return None
+    base = enc_obj[VAL].get("BaseEncoding")
+    base_name = base[VAL] if base is not None and base[TAG] == "name" else None
+    diffs_obj = enc_obj[VAL].get("Differences")
+    diffs: list = []
+    if diffs_obj is not None and diffs_obj[TAG] == "array":
+        for el in diffs_obj[VAL]:
+            if el[TAG] == "int":
+                diffs.append(el[VAL])
+            elif el[TAG] == "name":
+                diffs.append(el[VAL])
+    return build_code_map(base_name, diffs)
 
 
 def _page_content(doc, page) -> bytes:
@@ -395,6 +425,11 @@ def extract_page_text(doc, page, cmap_cache: dict | None = None) -> bytes:
         nonlocal shown_since_break
         if font is not None and font.cmap is not None:
             out.extend(font.cmap.map_bytes(payload).encode("utf-8"))
+        elif font is not None and font.enc_map is not None:
+            table = font.enc_map
+            out.extend(
+                "".join(table.get(b, "�") for b in payload).encode("utf-8")
+            )
         else:
             out.extend(payload)
         shown_since_break = True

@@ -35,7 +35,7 @@ import pyarrow as pa
 from ..pdfcore.pdfbuild import build_text_pdf
 
 # bump when generation rules change (invalidates /tmp caches)
-GENVER = "v5"
+GENVER = "v6"
 
 _BASE_TS_US = 1704067200 * 1_000_000  # 2024-01-01T00:00:00Z in epoch micros
 
@@ -71,9 +71,14 @@ def make_pdf_payload(doc_id: int, text: str) -> bytes:
         }
         if k % 10 == 0:
             image["smask_pixels"] = image_pixels(doc_id + 1, w_ * h_)
+    show_variant = _SHOW_VARIANTS[k % 4]
+    if show_variant == "tj_split" and (k // 8) % 2 == 1:
+        # alternate the tj_split slot with the /Encoding /Differences
+        # variant (inline font: object counts stay formula-stable)
+        show_variant = "encdiff"
     return build_text_pdf(
         text.encode("utf-8"),
-        show_variant=_SHOW_VARIANTS[k % 4],
+        show_variant=show_variant,
         stream_filter=_FILTERS[k % 3],
         indirect_length=(k % 2 == 0),
         xref_kind=_XREF_KINDS[(k // 4) % 4],

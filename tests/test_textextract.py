@@ -161,3 +161,28 @@ def test_lzw_roundtrip():
 def test_lzw_empty_and_short():
     assert lzw_decode(lzw_encode(b"")) == b""
     assert lzw_decode(lzw_encode(b"a")) == b"a"
+
+
+def test_encdiff_roundtrip_variants():
+    for filt in ("none", "flate", "lzw"):
+        text = b"encoding differences path with digits 0123456789"
+        got, _ = roundtrip(text, show_variant="encdiff", stream_filter=filt)
+        assert got == text
+
+
+def test_encoding_tables():
+    from pdf_parser_ray.pdfcore.encodings import build_code_map
+
+    # WinAnsi base covers Latin-1 upper half where the AGL subset does
+    m = build_code_map("WinAnsiEncoding", [])
+    assert m[ord("A")] == "A" and m[0xE9] == "é"
+    # Differences override the base
+    m2 = build_code_map("StandardEncoding", [65, "eacute", "space"])
+    assert m2[65] == "é" and m2[66] == " " and m2[67] == "C"
+
+
+def test_unknown_glyph_maps_to_replacement():
+    from pdf_parser_ray.pdfcore.encodings import build_code_map
+
+    m = build_code_map(None, [40, "nosuchglyphname"])
+    assert m[40] == "�"
