@@ -97,6 +97,7 @@ def run_extract_job(
     concurrency=None,
     batch_size: int = 64,
     resume: bool = True,
+    giant_cap: int | None = None,
 ) -> list[dict]:
     """Resumable extraction job: per-unit streaming sub-jobs.
 
@@ -105,8 +106,19 @@ def run_extract_job(
     after commit, so a killed run re-does only unfinished units. At
     100 TB scale, units are the coarse recovery grain (hundreds to
     thousands); within a unit Ray's lineage handles task retries.
+
+    Giant lane: rows whose payload exceeds ``giant_cap`` (default
+    stages.extract.GIANT_ROW_BYTES) skip the main pool and are
+    processed by a final dedicated unit — an uncapped 2-actor pool
+    with single-row batches, so one multi-GiB document never stalls
+    the fleet and still produces real output.
     """
     import ray.data
+
+    from ..stages.extract import GIANT_ROW_BYTES
+
+    if giant_cap is None:
+        giant_cap = GIANT_ROW_BYTES
 
     done = mf.done_units(out_dir) if resume else set()
     if not resume:
@@ -118,51 +130,88 @@ def run_extract_job(
         (u, u * num_partitions // num_units, (u + 1) * num_partitions // num_units)
         for u in range(num_units)
     ]
-    for unit_id, lo, hi in bounds:
+    giant_unit_id = num_units  # dedicated final unit for giant rows
+    for unit_id, lo, hi in bounds + [(giant_unit_id, None, None)]:
         if unit_id in done:
             continue
         t0 = time.monotonic()
         pages = ray.data.read_parquet(pages_path)
         routed = pages.map_batches(make_router(num_partitions), batch_format="pyarrow")
-        unit_ds = routed.map_batches(
-            lambda t, lo=lo, hi=hi: t.filter(
-                pc.and_(
-                    pc.greater_equal(t["partition_id"], lo),
-                    pc.less(t["partition_id"], hi),
-                )
-            ),
-            batch_format="pyarrow",
-        )
-        extracted = unit_ds.map_batches(
-            Extractor,
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency if concurrency is not None else default_concurrency(),
-        )
+        if unit_id == giant_unit_id:
+            unit_ds = routed.map_batches(
+                lambda t, cap=giant_cap: t.filter(
+                    pc.greater(t["nbytes"], cap)
+                ),
+                batch_format="pyarrow",
+            )
+            extracted = unit_ds.map_batches(
+                Extractor,
+                batch_format="pyarrow",
+                batch_size=1,
+                concurrency=2,
+                fn_constructor_kwargs={"giant_cap": None},
+            )
+        else:
+            unit_ds = routed.map_batches(
+                lambda t, lo=lo, hi=hi, cap=giant_cap: t.filter(
+                    pc.and_(
+                        pc.and_(
+                            pc.greater_equal(t["partition_id"], lo),
+                            pc.less(t["partition_id"], hi),
+                        ),
+                        pc.less_equal(t["nbytes"], cap),
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+            extracted = unit_ds.map_batches(
+                Extractor,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency
+                if concurrency is not None
+                else default_concurrency(),
+            )
 
         unit_out = mf.unit_out_dir(out_dir, unit_id)
         tmp_out = unit_out + ".tmp"
         shutil.rmtree(tmp_out, ignore_errors=True)
         shutil.rmtree(unit_out, ignore_errors=True)
+        os.makedirs(tmp_out, exist_ok=True)  # empty units still commit
         extracted.write_parquet(tmp_out)
         os.rename(tmp_out, unit_out)
 
         # lineage metrics for the unit (small read over committed files)
-        out_ds = ray.data.read_parquet(
-            unit_out, columns=["ok", "nbytes", "text", "partition_id"]
-        )
-        m = partition_metrics(out_ds).to_pandas()
+        part_files = [
+            f for f in os.listdir(unit_out) if f.endswith(".parquet")
+        ]
         dt = time.monotonic() - t0
-        metrics = {
-            "rows": int(m["rows"].sum()),
-            "ok_rows": int(m["ok_rows"].sum()),
-            "err_rows": int(m["rows"].sum() - m["ok_rows"].sum()),
-            "bytes_in": int(m["bytes_in"].sum()),
-            "text_bytes": int(m["text_bytes"].sum()),
-            "partitions": int(len(m)),
-            "duration_sec": round(dt, 3),
-            "docs_per_sec": round(float(m["rows"].sum()) / dt, 1) if dt > 0 else None,
-        }
+        if part_files:
+            out_ds = ray.data.read_parquet(
+                unit_out, columns=["ok", "nbytes", "text", "partition_id"]
+            )
+            m = partition_metrics(out_ds).to_pandas()
+            metrics = {
+                "rows": int(m["rows"].sum()),
+                "ok_rows": int(m["ok_rows"].sum()),
+                "err_rows": int(m["rows"].sum() - m["ok_rows"].sum()),
+                "bytes_in": int(m["bytes_in"].sum()),
+                "text_bytes": int(m["text_bytes"].sum()),
+                "partitions": int(len(m)),
+                "duration_sec": round(dt, 3),
+                "docs_per_sec": round(float(m["rows"].sum()) / dt, 1),
+            }
+        else:  # empty unit (e.g. no giant rows): commit zero metrics
+            metrics = {
+                "rows": 0,
+                "ok_rows": 0,
+                "err_rows": 0,
+                "bytes_in": 0,
+                "text_bytes": 0,
+                "partitions": 0,
+                "duration_sec": round(dt, 3),
+                "docs_per_sec": 0.0,
+            }
         mf.write_unit(out_dir, unit_id, metrics)
         results.append({"unit_id": unit_id, **metrics})
     return results

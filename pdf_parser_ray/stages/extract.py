@@ -66,10 +66,17 @@ def extract_pdf(payload: bytes, cmap_cache: dict):
 
 
 class Extractor:
-    """Stateful extraction actor; see module docstring."""
+    """Stateful extraction actor; see module docstring.
 
-    def __init__(self):
+    ``giant_cap``: payloads above it become tagged error rows (the
+    main pool's skew guard). The dedicated giant lane constructs the
+    actor with ``giant_cap=None`` (no cap, tiny batches, low
+    concurrency) — see extract_pipeline.run_extract_job.
+    """
+
+    def __init__(self, giant_cap: int | None = GIANT_ROW_BYTES):
         self.cmap_cache: dict = {}
+        self.giant_cap = giant_cap
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch["kind"].to_pylist()
@@ -85,15 +92,15 @@ class Extractor:
         for kind, payload in zip(kinds, payloads):
             if payload is None:
                 payload = b""
-            if len(payload) > GIANT_ROW_BYTES:
+            if self.giant_cap is not None and len(payload) > self.giant_cap:
                 # skew guard (SURVEY.md §4): a multi-GiB document must
-                # not stall a worker in the main pool; at fleet scale
-                # these rows re-queue to a dedicated low-concurrency
-                # job keyed off this error tag
+                # not stall a worker in the main pool; the giant lane
+                # (run_extract_job) reprocesses these rows with an
+                # uncapped low-concurrency actor pair
                 oks.append(False)
                 errors.append(
                     f"giant: payload of {len(payload)} bytes exceeds the "
-                    f"{GIANT_ROW_BYTES}-byte main-pool cap"
+                    f"{self.giant_cap}-byte main-pool cap"
                 )
                 texts.append(b"")
                 spans_col.append([])

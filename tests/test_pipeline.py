@@ -93,9 +93,9 @@ def test_resume_job(ray_session, pages_path, tmp_path):
     results = run_extract_job(
         pages_path, out_dir, num_units=4, num_partitions=16, concurrency=2
     )
-    assert len(results) == 4
+    assert len(results) == 5  # 4 main units + the (empty) giant lane
     assert sum(r["rows"] for r in results) == 500
-    assert mf.done_units(out_dir) == {0, 1, 2, 3}
+    assert mf.done_units(out_dir) == {0, 1, 2, 3, 4}
 
     # kill one unit -> rerun processes exactly that unit
     mf.clear_unit(out_dir, 2)
@@ -187,3 +187,47 @@ def test_spans_survive_parquet_roundtrip(ray_session, pages_path, tmp_path):
         spans = r["spans"]
         assert spans and spans[0]["kind"] == "page"
         assert spans[-1]["end"] == len(r["text"])
+
+
+def test_binary_dir_source(ray_session, tmp_path):
+    """Loose .pdf/.html files -> pages table -> extraction unchanged."""
+    from pdf_parser_ray.pdfcore import pdfbuild
+    from pdf_parser_ray.pipelines.extract_pipeline import build_extract_ds
+    from pdf_parser_ray.sources.binary import read_binary_dir
+
+    (tmp_path / "a.pdf").write_bytes(pdfbuild.build_text_pdf(b"from file"))
+    (tmp_path / "b.html").write_bytes(b"<html><body><p>web file</p></body></html>")
+    (tmp_path / "c.bin").write_bytes(b"GIF89a junk")
+
+    pages = read_binary_dir(str(tmp_path))
+    out = {
+        r["url"].rsplit("/", 1)[1]: r
+        for r in build_extract_ds(pages, num_partitions=4, concurrency=1).take_all()
+    }
+    assert bytes(out["a.pdf"]["text"]) == b"from file"
+    assert bytes(out["b.html"]["text"]) == b"web file"
+    assert not out["c.bin"]["ok"]
+
+
+def test_giant_lane_extracts(ray_session, pages_path, tmp_path):
+    """With a tiny cap, big PDFs route to the giant lane and still
+    produce real extracted text (not error rows)."""
+    import ray.data
+
+    from pdf_parser_ray.pipelines.extract_pipeline import run_extract_job
+
+    out_dir = str(tmp_path / "giant")
+    results = run_extract_job(
+        pages_path,
+        out_dir,
+        num_units=2,
+        num_partitions=8,
+        concurrency=2,
+        giant_cap=1500,
+    )
+    giant = [r for r in results if r["unit_id"] == 2][0]
+    assert giant["rows"] > 0 and giant["ok_rows"] == giant["rows"]
+    total = sum(r["rows"] for r in results)
+    assert total == 500
+    ok_total = sum(r["ok_rows"] for r in results)
+    assert ok_total == 334  # every pdf/html row extracted despite the cap
