@@ -135,6 +135,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(project, batch_format="pyarrow")
 
+    def errors_by_stage(sf_dir: str):
+        ds = _extracted(sf_dir)
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.invert(t["ok"]))
+            stages = [
+                e.split(":", 1)[0] for e in t["error"].to_pylist()
+            ]
+            return pa.table({"stage": pa.array(stages, pa.string())})
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("stage")
+            .aggregate(Count(alias_name="n"))
+        )
+
     def distinct_langs(sf_dir: str):
         import os
 
@@ -157,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pdf_text": extract_pdf_text,
         "extract_html_text": extract_html_text,
         "extract_ok_by_kind": extract_ok_by_kind,
+        "errors_by_stage": errors_by_stage,
         "extract_structure": extract_structure,
         # relational / aggregation / windows
         "doc_stats_by_lang": relational.doc_stats_by_lang,
@@ -242,6 +259,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END) AS BIGINT) AS n_ok
             FROM documents GROUP BY 1
+        """,
+        "errors_by_stage": """
+            SELECT 'route' AS stage, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents WHERE doc_id % 3 = 2
         """,
         "extract_structure": """
             SELECT doc_id,

@@ -43,8 +43,18 @@ def build_extract_ds(
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     concurrency=None,
     batch_size: int = 64,
+    repartition_blocks: int | None = None,
 ):
-    """Lazy extraction Dataset over a pages Dataset (no consumption)."""
+    """Lazy extraction Dataset over a pages Dataset (no consumption).
+
+    ``repartition_blocks``: explicit pre-route repartition (north_rule:
+    "read_parquet with explicit repartitioning to bound skew"). Splits
+    or coalesces blocks WITHOUT a shuffle so a handful of giant input
+    files can't serialize the pipeline; Ray's dynamic block splitting
+    plus the giant-row lane handle per-row skew beyond that.
+    """
+    if repartition_blocks is not None:
+        pages_ds = pages_ds.repartition(repartition_blocks)
     ds = pages_ds.map_batches(
         make_router(num_partitions), batch_format="pyarrow"
     )

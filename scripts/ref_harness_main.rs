@@ -39,6 +39,45 @@ fn main() {
         return;
     }
 
+fn fmt_dict(o: &object::PdfDict, off: u64) -> String {
+    let mut pairs: Vec<String> = o
+        .iter()
+        .map(|(k, v)| format!("{}: {}", k, fmt_obj(v)))
+        .collect();
+    pairs.sort();
+    format!("dict {{{}}} @{}", pairs.join(", "), off)
+}
+
+fn fmt_obj(obj: &parser::Object) -> String {
+    // stable text form of an object tree; dict keys sorted for
+    // HashMap-order independence; string payloads are checked at the
+    // lexer level (private field here)
+    use object::PdfObject;
+    match obj {
+        parser::Object::Boolean(o) => format!("bool {} @{}", o.unpack(), o.byte_offset()),
+        parser::Object::Integer(o) => format!("int {} @{}", o.unpack(), o.byte_offset()),
+        parser::Object::Real(o) => format!("real {:?} @{}", o.unpack(), o.byte_offset()),
+        parser::Object::Name(o) => format!("name {} @{}", o.as_str(), o.byte_offset()),
+        parser::Object::String(o) => format!("string @{}", o.byte_offset()),
+        parser::Object::Null(o) => format!("null @{}", o.byte_offset()),
+        parser::Object::IndirectRef(o) => {
+            let (n, g) = o.unpack();
+            format!("ref {} {} @{}", n, g, o.byte_offset())
+        }
+        parser::Object::Array(o) => {
+            let items: Vec<String> = o.into_iter().map(fmt_obj).collect();
+            format!("array [{}] @{}", items.join(", "), o.byte_offset())
+        }
+        parser::Object::Dict(o) => fmt_dict(o, o.byte_offset()),
+        parser::Object::IndirectObj(o) => {
+            format!("iobj {} @{}", fmt_obj(o.get_object()), o.byte_offset())
+        }
+        parser::Object::StreamObj(o) => {
+            format!("stream {} @{}", fmt_dict(&o.dict, o.dict.byte_offset()), o.byte_offset())
+        }
+    }
+}
+
 fn fmt_token(tok: &lexer::Token) -> String {
     let desc = match tok.content() {
                         TokenContent::Eol => "eol".to_string(),
@@ -100,6 +139,30 @@ fn run_lex(buf: &[u8]) {
                     }
                     println!("UNBALANCED {}", lx.has_unbalanced_indirectobj());
                 }
+                Err(e) => println!("ERR {}", e),
+            }
+            println!("====");
+        }
+        return;
+    }
+
+    if mode == "parsemany" {
+        let text = String::from_utf8(buf).unwrap();
+        for line in text.lines() {
+            let bytes: Vec<u8> = (0..line.len())
+                .step_by(2)
+                .map(|i| u8::from_str_radix(&line[i..i + 2], 16).unwrap())
+                .collect();
+            if bytes.is_empty() {
+                println!("EMPTY");
+                println!("====");
+                continue;
+            }
+            match parser::Parser::new(&bytes, 0) {
+                Ok(mut p) => match p.parse() {
+                    Ok(obj) => println!("{}", fmt_obj(&obj)),
+                    Err(e) => println!("ERR {}", e),
+                },
                 Err(e) => println!("ERR {}", e),
             }
             println!("====");

@@ -200,3 +200,98 @@ def test_differential_trailer_on_fixtures():
 
     with pytest.raises(TrailerError):
         parse_trailer(bad, len(bad))
+
+
+# -- parser-level differential (object trees with offsets) --
+
+
+def py_obj_fmt(obj) -> str:
+    tag, val, off = obj
+    if tag == "bool":
+        return f"bool {'true' if val else 'false'} @{off}"
+    if tag == "int":
+        return f"int {val} @{off}"
+    if tag == "real":
+        return f"real {rust_f64_repr(val)} @{off}"
+    if tag == "name":
+        return f"name {val} @{off}"
+    if tag == "string":
+        return f"string @{off}"
+    if tag == "null":
+        return f"null @{off}"
+    if tag == "ref":
+        return f"ref {val[0]} {val[1]} @{off}"
+    if tag == "array":
+        return f"array [{', '.join(py_obj_fmt(x) for x in val)}] @{off}"
+    if tag == "dict":
+        pairs = sorted(f"{k}: {py_obj_fmt(v)}" for k, v in val.items())
+        return f"dict {{{', '.join(pairs)}}} @{off}"
+    if tag == "iobj":
+        return f"iobj {py_obj_fmt(val)} @{off}"
+    if tag == "stream":
+        d = val
+        pairs = sorted(f"{k}: {py_obj_fmt(v)}" for k, v in d[1].items())
+        return f"stream dict {{{', '.join(pairs)}}} @{d[2]} @{off}"
+    raise AssertionError(tag)
+
+
+def py_parse_line(buf: bytes) -> str:
+    from pdf_parser_ray.pdfcore.errors import ParserError
+    from pdf_parser_ray.pdfcore.parser import Parser
+
+    if not buf:
+        return "EMPTY"
+    try:
+        return py_obj_fmt(Parser(buf, 0).parse())
+    except ParserError as e:
+        if e.kind == "Lexer":
+            return f"ERR cannot tokenize: {e.inner.message} at byte offset `{e.inner.byte_offset}`"
+        return f"ERR {e.message} at byte offset `{e.byte_offset}`"
+
+
+def ref_parse_many(bufs: list[bytes]) -> list[str]:
+    payload = "\n".join(b.hex() for b in bufs) + "\n"
+    inp = "/tmp/ref_parsemany_input.txt"
+    with open(inp, "w") as f:
+        f.write(payload)
+    out = subprocess.run(
+        [HARNESS, "parsemany", inp], capture_output=True, text=True, check=True
+    ).stdout
+    blocks = out.split("====\n")
+    return [b.rstrip("\n") for b in blocks[: len(bufs)]]
+
+
+PARSE_FRAGMENTS = [
+    b" 1 ", b"-2.5 ", b"(s)", b"<a0>", b"/N ", b"null ", b"true ",
+    b"[", b"]", b"<<", b">>", b"/K ", b"3 0 R ", b"1 0 obj ", b"endobj ",
+    b"<</Length 3>>", b"stream\nab", b"[1 2 [3]]", b"<</A 1 /B (x)>>",
+]
+
+
+def test_parser_differential_random():
+    rng = random.Random(4242)
+    bufs = []
+    for _ in range(3000):
+        k = rng.randrange(1, 8)
+        bufs.append(b"".join(rng.choice(PARSE_FRAGMENTS) for _ in range(k)))
+    ref = ref_parse_many(bufs)
+    for buf, ref_line in zip(bufs, ref):
+        assert py_parse_line(buf) == ref_line, f"buf={buf!r}"
+
+
+def test_parser_differential_fixture_objects():
+    pdf = pdfbuild.build_text_pdf(
+        b"tree\ncheck", show_variant="cmap", indirect_length=True
+    )
+    bufs = []
+    pos = 0
+    while True:
+        at = pdf.find(b" 0 obj", pos)
+        if at == -1:
+            break
+        line_start = pdf.rfind(b"\n", 0, at) + 1
+        bufs.append(pdf[line_start : line_start + 400])
+        pos = at + 1
+    ref = ref_parse_many(bufs)
+    for buf, ref_line in zip(bufs, ref):
+        assert py_parse_line(buf) == ref_line, f"buf={buf!r}"
