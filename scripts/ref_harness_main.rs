@@ -170,6 +170,26 @@ fn run_lex(buf: &[u8]) {
         return;
     }
 
+    if mode == "skelbench" {
+        // throughput of the shared document-skeleton subset (header is
+        // regex-crate-bound and excluded): trailer parse + xref load +
+        // root catalog resolve, repeated N times over one file
+        let n: usize = args[3].parse().unwrap();
+        let mut file = std::fs::File::open(path).unwrap();
+        let size = file.metadata().unwrap().len();
+        let t0 = std::time::Instant::now();
+        for _ in 0..n {
+            let t = trailer::parse_trailer(&mut file, size).unwrap();
+            let xref = cross_reference::XRef::new(&mut file, t.xref_start_offset).unwrap();
+            let root_ref = t.get_root_catalog_ref();
+            let obj = root_ref.get_indirect_obj(&mut file, &xref).unwrap();
+            std::hint::black_box(&obj);
+        }
+        let dt = t0.elapsed().as_secs_f64();
+        println!("{{\"docs\": {}, \"sec\": {:.4}, \"docs_per_sec\": {:.0}}}", n, dt, n as f64 / dt);
+        return;
+    }
+
     if mode == "trailer" {
         let mut file = std::fs::File::open(path).unwrap();
         let size = file.metadata().unwrap().len();
