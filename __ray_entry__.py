@@ -135,6 +135,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(project, batch_format="pyarrow")
 
+    def span_summary(sf_dir: str):
+        """Span-offset invariants as data: one span per ok row in this
+        corpus (single page / single block), end == len(text)."""
+        ds = _extracted(sf_dir)
+
+        def project(t: pa.Table) -> pa.Table:
+            t = t.filter(t["ok"])
+            ids = _doc_id_col(t["url"].to_pylist())
+            n_spans = []
+            tiled = []
+            for spans, text in zip(
+                t["spans"].to_pylist(), t["text"].to_pylist()
+            ):
+                n_spans.append(len(spans))
+                tiled.append(
+                    bool(spans)
+                    and spans[0]["start"] == 0
+                    and spans[-1]["end"] == len(text)
+                )
+            return pa.table(
+                {
+                    "doc_id": ids,
+                    "n_spans": pa.array(n_spans, pa.int64()),
+                    "tiled": pa.array(tiled, pa.bool_()),
+                }
+            )
+
+        return ds.map_batches(project, batch_format="pyarrow")
+
     def errors_by_stage(sf_dir: str):
         ds = _extracted(sf_dir)
 
@@ -174,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_html_text": extract_html_text,
         "extract_ok_by_kind": extract_ok_by_kind,
         "errors_by_stage": errors_by_stage,
+        "span_summary": span_summary,
         "extract_structure": extract_structure,
         # relational / aggregation / windows
         "doc_stats_by_lang": relational.doc_stats_by_lang,
@@ -263,6 +293,10 @@ def oracle_sql() -> dict[str, str]:
         "errors_by_stage": """
             SELECT 'route' AS stage, CAST(COUNT(*) AS BIGINT) AS n
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "span_summary": """
+            SELECT doc_id, CAST(1 AS BIGINT) AS n_spans, TRUE AS tiled
+            FROM documents WHERE doc_id % 3 < 2
         """,
         "extract_structure": """
             SELECT doc_id,
