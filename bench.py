@@ -78,7 +78,13 @@ def run_headline(pool: int | None = None) -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     if pool is None:
-        concurrency = (max(1, (NUM_CPUS - 2) // 2), max(2, NUM_CPUS - 2))
+        # cap the pool below the claimed CPU count: this host exposes 32
+        # logical CPUs but ~20 effective (BASELINE.md), and a 30-actor
+        # pool thrashes; 16 actors measured fastest across the sweep.
+        # GRAFT_MAX_POOL lifts the cap on genuinely larger hosts.
+        cap = int(os.environ.get("GRAFT_MAX_POOL", "16"))
+        hi = min(cap, max(2, NUM_CPUS - 2))
+        concurrency = (max(1, hi // 2), hi)
     else:
         concurrency = (pool, pool)
     t0 = time.monotonic()
