@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_join_native": relational.orders_join_native,
         "top_docs_by_chars": relational.top_docs_by_chars,
         "events_hourly": relational.events_hourly,
+        "events_props_agg": relational.events_props_agg,
         "sessions_per_user": relational.sessions_per_user,
         # text analysis
         "token_counts": textstats.token_counts,
@@ -365,6 +366,13 @@ def oracle_sql() -> dict[str, str]:
                        AS value_cents,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "events_props_agg": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                       AS sum_k,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type
         """,
         "sessions_per_user": """
             SELECT user_id,

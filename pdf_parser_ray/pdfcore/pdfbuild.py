@@ -306,6 +306,11 @@ def build_text_pdf(
         elif stream_filter == "lzw":
             data = lzw_encode(content)
             filt = b"/Filter /LZWDecode"
+        elif stream_filter == "flate+lzw":
+            # filter ARRAY: decode applies Flate then LZW, so encode in
+            # reverse order (LZW innermost)
+            data = zlib.compress(lzw_encode(content))
+            filt = b"/Filter [ /FlateDecode /LZWDecode ]"
         else:
             data = content
             filt = b""

@@ -253,6 +253,38 @@ def sessions_per_user(sf_dir: str, gap_sec: int = 1800):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def events_props_agg(sf_dir: str):
+    """Semi-structured extraction: parse the JSON ``props`` column and
+    aggregate the extracted field per event_type. The hot path is a
+    vectorized pandas regex extract (the corpus is schema-stable
+    ``{"k": int}``); swap for a real JSON kernel (pyarrow/simdjson)
+    when props are heterogeneous."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False).astype("int64")
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "k": k})
+            .groupby("event_type", as_index=False)
+            .agg(sum_k=("k", "sum"), n_events=("k", "size"))
+        )
+        g["n_events"] = g["n_events"].astype("int64")
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("sum_k", alias_name="sum_k"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+
 def sample_10pct(sf_dir: str):
     """Deterministic 10% sample (doc_id % 10 == 0) — the reproducible
     stand-in for ``ds.random_sample(0.1, seed=...)`` whose row set a

@@ -186,3 +186,10 @@ def test_unknown_glyph_maps_to_replacement():
 
     m = build_code_map(None, [40, "nosuchglyphname"])
     assert m[40] == "�"
+
+
+def test_filter_chain_roundtrip():
+    """/Filter arrays apply in order (Flate outermost, LZW innermost)."""
+    text = b"chained filters content\nsecond line"
+    got, _ = roundtrip(text, stream_filter="flate+lzw", page_size=1)
+    assert got == text
