@@ -184,6 +184,7 @@ def build_text_pdf(
     indirect_length: bool = False,
     xref_kind: str = "classic",       # classic | stream | objstm | prev
     image: dict | None = None,        # {width, height, pixels, smask_pixels?}
+    thumbnail: bool = False,          # /Thumb ref on page 1 (V13)
 ) -> bytes:
     """A PDF whose extracted text (textextract rules) is exactly ``text``.
 
@@ -265,6 +266,17 @@ def build_text_pdf(
         )
         w.add_stream(cmap_num, b"", cmap_bytes)
 
+    thumb_clause = b""
+    if thumbnail:
+        thumb_num = w.alloc()
+        w.add_stream(
+            thumb_num,
+            b"/Type /XObject /Subtype /Image /Width 2 /Height 2 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode",
+            zlib.compress(bytes(4)),
+        )
+        thumb_clause = b" /Thumb %d 0 R" % thumb_num
+
     # optional DeviceRGB Flate image XObject (+ optional SMask pair) on
     # page 1 — text extraction is unaffected; exercises V12-V17
     image_clause = b""
@@ -325,10 +337,11 @@ def build_text_pdf(
                 b"/Resources << /Font << /F1 << /Type /Font /Subtype /Type1 "
                 b"/BaseFont /Helvetica >> >>%s >>" % xobj
             )
+        thumb = thumb_clause if not page_nums else b""
         emit_dict(
             page_num,
-            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] %s "
-            b"/Contents %d 0 R >>" % (pages_num, res, content_num),
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] %s%s "
+            b"/Contents %d 0 R >>" % (pages_num, res, thumb, content_num),
         )
         w.add_stream(content_num, filt, data, length_ref=length_num)
         if length_num is not None:

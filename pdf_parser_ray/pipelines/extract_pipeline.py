@@ -188,7 +188,9 @@ def run_extract_job(
         shutil.rmtree(tmp_out, ignore_errors=True)
         shutil.rmtree(unit_out, ignore_errors=True)
         os.makedirs(tmp_out, exist_ok=True)  # empty units still commit
-        extracted.write_parquet(tmp_out)
+        # bound file counts: at fleet scale thousands of tiny part
+        # files per unit wreck the downstream read path
+        extracted.write_parquet(tmp_out, min_rows_per_file=50_000)
         os.rename(tmp_out, unit_out)
 
         # lineage metrics for the unit (small read over committed files)

@@ -148,3 +148,39 @@ def test_xref_not_contained():
     with pytest.raises(XrefError) as ei:
         doc.resolve(("ref", (999, 0), 0))
     assert "not contained" in ei.value.describe()
+
+
+def test_fuzz_pdfdocument_only_pdferrors():
+    """SURVEY §5.5: arbitrary bytes must raise only contained PdfError."""
+    import random
+
+    rng = random.Random(123)
+    good = pdfbuild.build_text_pdf(b"fuzz seed doc")
+    for i in range(400):
+        if i % 4 == 0:
+            n = rng.randrange(0, 300)
+            buf = bytes(rng.randrange(256) for _ in range(n))
+        else:  # structured corruptions of a valid doc
+            buf = bytearray(good)
+            for _ in range(rng.randrange(1, 6)):
+                buf[rng.randrange(len(buf))] = rng.randrange(256)
+            buf = bytes(buf)
+        try:
+            doc = PdfDocument(buf)
+            from pdf_parser_ray.pdfcore.textextract import extract_text
+
+            extract_text(doc)
+        except PdfError:
+            pass
+
+
+def test_thumbnail_ref_captured():
+    """V13: /Thumb refs are carried on the page (src/page_tree.rs:184-193)."""
+    pdf = pdfbuild.build_text_pdf(b"thumbed", thumbnail=True)
+    doc = PdfDocument(pdf)
+    assert doc.pages[0].thumbnail is not None
+    assert doc.pages[0].thumbnail[0] == "ref"
+    # the thumb resolves to an image stream
+    stream = doc.resolve(doc.pages[0].thumbnail)
+    assert stream[0] == "stream"
+    assert PdfDocument(pdfbuild.build_text_pdf(b"x")).pages[0].thumbnail is None

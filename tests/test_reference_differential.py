@@ -295,3 +295,32 @@ def test_parser_differential_fixture_objects():
     ref = ref_parse_many(bufs)
     for buf, ref_line in zip(bufs, ref):
         assert py_parse_line(buf) == ref_line, f"buf={buf!r}"
+
+
+def test_differential_synth_corpus_windows():
+    """Lex every object window of 30 synthetic corpus PDFs (all variant
+    combinations incl. xref streams/ObjStm) through both engines."""
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.sources.synth import make_pdf_payload
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    bufs = []
+    for r in docs[:90]:
+        if r["doc_id"] % 3 != 0:
+            continue
+        pdf = make_pdf_payload(r["doc_id"], r["text"])
+        pos = 0
+        while True:
+            at = pdf.find(b" 0 obj", pos)
+            if at == -1:
+                break
+            line_start = pdf.rfind(b"\n", 0, at) + 1
+            bufs.append(pdf[line_start : line_start + 600])
+            pos = at + 1
+    assert len(bufs) > 100
+    ref = ref_lex_many(bufs)
+    for buf, ref_lines in zip(bufs, ref):
+        assert py_lex_lines(buf) == ref_lines, f"buf={buf[:80]!r}"
