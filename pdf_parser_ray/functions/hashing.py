@@ -25,7 +25,8 @@ def fnv1a64(data: bytes) -> int:
 
 
 def shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
-    """uint64 hashes of the n-gram shingle set of a token list."""
+    """uint64 hashes of the n-gram shingle set of a token list
+    (reference implementation; TokenHasher is the fast path)."""
     if len(tokens) < n:
         shingles = {" ".join(tokens)} if tokens else set()
     else:
@@ -35,6 +36,60 @@ def shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
         dtype=np.uint64,
         count=len(shingles),
     )
+
+
+class TokenHasher:
+    """Vectorized shingle hashing with a warm per-actor token cache.
+
+    Each distinct token is hashed once (blake2b-8, C speed, cached —
+    corpus vocabularies are tiny relative to token counts); n-gram
+    shingle hashes are then a single vectorized mix over the token-hash
+    windows. Produces a DIFFERENT hash family than ``shingle_hashes``
+    but the same shingle-set identity semantics, which is all MinHash/
+    SimHash/Jaccard need.
+    """
+
+    _C1 = np.uint64(0x9E3779B97F4A7C15)
+    _C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    _C3 = np.uint64(0x165667B19E3779F9)
+
+    def __init__(self):
+        import hashlib
+
+        self._blake = hashlib.blake2b
+        self._cache: dict[str, int] = {}
+
+    def _token_hash(self, tok: str) -> int:
+        h = self._cache.get(tok)
+        if h is None:
+            h = int.from_bytes(
+                self._blake(tok.encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            self._cache[tok] = h
+        return h
+
+    def shingle_hashes(self, tokens: list[str], n: int = 3) -> np.ndarray:
+        """uint64 hashes of the n-gram shingle SET (deduplicated)."""
+        if not tokens:
+            return np.empty(0, dtype=np.uint64)
+        th = np.fromiter(
+            (self._token_hash(t) for t in tokens),
+            dtype=np.uint64,
+            count=len(tokens),
+        )
+        if len(tokens) < n:
+            h = 0
+            for k in range(len(tokens)):
+                h = ((h * 0x9E3779B97F4A7C15) ^ (int(th[k]) * 0xC2B2AE3D27D4EB4F)) & _MASK64
+            return np.array([h], dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            w0 = th[: len(th) - n + 1] * self._C1
+            w1 = th[1 : len(th) - n + 2] * self._C2
+            w2 = th[2 : len(th) - n + 3] * self._C3
+            mixed = w0 ^ w1 ^ w2
+            mixed ^= mixed >> np.uint64(29)
+            mixed *= np.uint64(0xFF51AFD7ED558CCD)
+        return np.unique(mixed)
 
 
 class MinHasher:
@@ -65,10 +120,17 @@ class MinHasher:
 
     def band_keys(self, sig: np.ndarray) -> list[int]:
         """One uint64 bucket key per band (band id mixed in)."""
+        import hashlib
+
         keys = []
         for band in range(self.bands):
             chunk = sig[band * self.rows : (band + 1) * self.rows]
-            h = fnv1a64(chunk.tobytes() + bytes([band]))
+            h = int.from_bytes(
+                hashlib.blake2b(
+                    chunk.tobytes() + bytes([band]), digest_size=8
+                ).digest(),
+                "big",
+            )
             keys.append(h)
         return keys
 

@@ -30,10 +30,10 @@ import pyarrow as pa
 
 from ..functions.hashing import (
     MinHasher,
+    TokenHasher,
     fnv1a64,
     hamming64,
     jaccard,
-    shingle_hashes,
     simhash64,
 )
 from .textstats import TOKEN_RE
@@ -150,6 +150,7 @@ class MinHashStage:
     def __init__(self):
         self.word = re.compile(TOKEN_RE)
         self.hasher = MinHasher(k=64, bands=16)
+        self.th = TokenHasher()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids_out: list[int] = []
@@ -157,7 +158,7 @@ class MinHashStage:
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
-            sig = self.hasher.signature(shingle_hashes(self.word.findall(text)))
+            sig = self.hasher.signature(self.th.shingle_hashes(self.word.findall(text)))
             for key in self.hasher.band_keys(sig):
                 ids_out.append(doc_id)
                 keys_out.append(key - (1 << 63))
@@ -201,12 +202,13 @@ class JaccardVerify:
         self.texts: dict[int, str] = ray.get(texts_ref)
         self.threshold = threshold
         self.word = re.compile(TOKEN_RE)
+        self.th = TokenHasher()
         self._cache: dict[int, np.ndarray] = {}
 
     def _sh(self, doc_id: int) -> np.ndarray:
         h = self._cache.get(doc_id)
         if h is None:
-            h = np.sort(shingle_hashes(self.word.findall(self.texts[doc_id])))
+            h = np.sort(self.th.shingle_hashes(self.word.findall(self.texts[doc_id])))
             self._cache[doc_id] = h
         return h
 
@@ -300,13 +302,14 @@ def simhash_fingerprints(sf_dir: str, max_hamming: int = 6):
     class SimHashStage:
         def __init__(self):
             self.word = re.compile(TOKEN_RE)
+            self.th = TokenHasher()
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids, bands, buckets, sims = [], [], [], []
             for doc_id, text in zip(
                 batch["doc_id"].to_pylist(), batch["text"].to_pylist()
             ):
-                sh = simhash64(shingle_hashes(self.word.findall(text)))
+                sh = simhash64(self.th.shingle_hashes(self.word.findall(text)))
                 for band in range(4):
                     chunk = (sh >> (band * 16)) & 0xFFFF
                     key = band * 65536 + chunk

@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import fnv1a64, shingle_hashes, simhash64
+from ..functions.hashing import TokenHasher, fnv1a64, simhash64
 
 TOKEN_RE = r"[A-Za-z0-9]+"
 STOPWORDS = ("the", "and", "of", "a", "to", "in")
@@ -101,13 +101,14 @@ class Fingerprinter:
 
     def __init__(self):
         self.word = re.compile(TOKEN_RE)
+        self.th = TokenHasher()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fps = []
         shs = []
         for t in batch["text"].to_pylist():
             fps.append(fnv1a64(t.encode("utf-8")) - (1 << 63))
-            sh = simhash64(shingle_hashes(self.word.findall(t)))
+            sh = simhash64(self.th.shingle_hashes(self.word.findall(t)))
             shs.append(sh - (1 << 63))
         return pa.table(
             {
