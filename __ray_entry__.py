@@ -196,9 +196,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return partition_metrics(_extracted(sf_dir))
 
+    def html_main_content(sf_dir: str):
+        """Density-scored (readability-style) main-content selection on
+        html rows — an independent heuristic that must agree with the
+        rule-based strip on this corpus (same oracle)."""
+        from pdf_parser_ray.pdfcore.htmlextract import extract_main_content
+        from pdf_parser_ray.sources.synth import read_pages
+
+        pages = read_pages(sf_dir)
+
+        def project(t: pa.Table) -> pa.Table:
+            ids, texts = [], []
+            for url, payload in zip(
+                t["url"].to_pylist(), t["html"].to_pylist()
+            ):
+                doc_id = int(url.rsplit("/", 1)[1])
+                if doc_id % 3 != 1:
+                    continue
+                ids.append(doc_id)
+                texts.append(extract_main_content(payload or b"").decode("utf-8"))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+
+        return pages.map_batches(project, batch_format="pyarrow")
+
     return {
         # extraction family (synthetic Common-Crawl-style pages table)
         "route_counts": route_counts,
+        "html_main_content": html_main_content,
         "extract_pdf_text": extract_pdf_text,
         "extract_html_text": extract_html_text,
         "extract_ok_by_kind": extract_ok_by_kind,
@@ -282,6 +311,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
         """,
         "extract_html_text": """
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+        """,
+        "html_main_content": """
             SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
         """,
         "extract_ok_by_kind": """

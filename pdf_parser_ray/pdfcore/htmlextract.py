@@ -211,3 +211,150 @@ def extract_html_text(buf: bytes) -> tuple[bytes, list[dict]]:
         spans.append({"start": pos, "end": pos + blen, "kind": "block", "page": 0})
         pos += blen + 1
     return data, spans
+
+
+_CANDIDATE_CONTAINERS = {"article", "main", "section", "div", "body", "td"}
+
+
+def extract_main_content(buf: bytes) -> bytes:
+    """Density-scored main-content selection (readability-style DOM
+    heuristic): score candidate containers by text mass x (1 - link
+    density) and return the best container's line-structured text.
+
+    Complements ``extract_html_text`` (rule-based strip): on pages whose
+    boilerplate is NOT in suppressible tags (e.g. sidebars made of
+    plain link-stuffed <div>s), density scoring still finds the
+    article. Same line semantics as the rule-based path.
+    """
+    lines: list[tuple[str, tuple[int, ...], int]] = []  # (text, path, link_chars)
+    cur: list[str] = []
+    cur_link = 0
+    suppress_depth = 0
+    link_depth = 0
+    stack: list[tuple[str, int]] = []  # (tag, node id)
+    node_tags: dict[int, str] = {}
+    next_id = 1
+
+    def path() -> tuple[int, ...]:
+        return tuple(nid for _, nid in stack)
+
+    def flush(force: bool) -> None:
+        nonlocal cur_link
+        text = "".join(cur)
+        cur.clear()
+        link = cur_link
+        cur_link = 0
+        if text or force:
+            lines.append((text, path(), link))
+
+    def add_text(chunk: bytes) -> None:
+        nonlocal cur_link
+        s = _htmlmod.unescape(_decode_bytes(chunk))
+        cur.append(s)
+        if link_depth > 0:
+            cur_link += len(s)
+
+    i = 0
+    n = len(buf)
+    while i < n:
+        lt = buf.find(b"<", i)
+        if lt == -1:
+            if suppress_depth == 0 and buf[i:n].strip():
+                add_text(buf[i:n])
+            break
+        if lt > i and suppress_depth == 0 and buf[i:lt].strip():
+            add_text(buf[i:lt])
+        i = lt
+        nxt = buf[lt + 1 : lt + 2]
+        if not (nxt.isalpha() or nxt in (b"/", b"!", b"?")):
+            if suppress_depth == 0:
+                cur.append("<")
+            i = lt + 1
+            continue
+        if buf.startswith(b"<!--", i):
+            end = buf.find(b"-->", i + 4)
+            i = n if end == -1 else end + 3
+            continue
+        if buf.startswith(b"<![CDATA[", i):
+            end = buf.find(b"]]>", i + 9)
+            i = n if end == -1 else end + 3
+            continue
+        if buf.startswith(b"<!", i) or buf.startswith(b"<?", i):
+            end = buf.find(b">", i + 2)
+            i = n if end == -1 else end + 1
+            continue
+        gt = buf.find(b">", i + 1)
+        if gt == -1:
+            break
+        tag_body = buf[i + 1 : gt]
+        i = gt + 1
+        closing = tag_body.startswith(b"/")
+        if closing:
+            tag_body = tag_body[1:]
+        m = _TAG_NAME_RE.match(tag_body)
+        if m is None:
+            if suppress_depth == 0:
+                cur.append(_htmlmod.unescape(_decode_bytes(buf[lt : gt + 1])))
+            continue
+        name = m.group(0).decode("ascii").lower()
+        self_closing = tag_body.rstrip().endswith(b"/")
+
+        if not closing and name in _RAWTEXT:
+            close = re.compile(
+                rb"</" + name.encode() + rb"\s*>", re.IGNORECASE
+            ).search(buf, i)
+            i = n if close is None else close.end()
+            continue
+        if name in _SUPPRESS:
+            if closing:
+                suppress_depth = max(0, suppress_depth - 1)
+            elif not self_closing:
+                suppress_depth += 1
+            continue
+        if suppress_depth > 0:
+            continue
+        if name == "a":
+            link_depth = max(0, link_depth - 1) if closing else link_depth + 1
+            continue
+        if name == "br":
+            flush(force=bool(cur))
+            continue
+        if name in _LINE_BLOCKS:
+            flush(force=closing)
+            continue
+        if name in _CANDIDATE_CONTAINERS or name in _CONTAINER_BLOCKS:
+            flush(force=False)
+            if closing:
+                while stack and stack[-1][0] != name:
+                    stack.pop()
+                if stack:
+                    stack.pop()
+            elif not self_closing:
+                stack.append((name, next_id))
+                node_tags[next_id] = name
+                next_id += 1
+            continue
+        # inline tags: no structural effect
+
+    flush(force=False)
+
+    # score every candidate container over the lines it contains
+    best_id, best_score = 0, -1.0
+    totals: dict[int, tuple[int, int]] = {}
+    for text, pth, link in lines:
+        for nid in pth:
+            t, l = totals.get(nid, (0, 0))
+            totals[nid] = (t + len(text), l + link)
+    for nid, (t, l) in totals.items():
+        if node_tags.get(nid) not in _CANDIDATE_CONTAINERS or t == 0:
+            continue
+        # squared link-density penalty: a link-stuffed sidebar drags an
+        # enclosing container's score below the clean article container
+        score = t * (1.0 - (l / t)) ** 2
+        if score > best_score:
+            best_id, best_score = nid, score
+    if best_score < 0:  # no candidate container: fall back to everything
+        selected = [text for text, _, _ in lines]
+    else:
+        selected = [text for text, pth, _ in lines if best_id in pth]
+    return "\n".join(selected).encode("utf-8")

@@ -83,3 +83,50 @@ def test_nested_containers_no_spurious_lines():
 def test_utf8():
     html = "<p>héllo wörld</p>".encode("utf-8")
     assert text_of(html) == "héllo wörld".encode("utf-8")
+
+
+# -- density-based main-content selection --
+
+from pdf_parser_ray.pdfcore.htmlextract import extract_main_content
+
+
+def test_density_agrees_with_rules_on_articles():
+    html = (
+        b"<html><head><title>T</title></head><body><nav><ul><li>Home</li></ul></nav>"
+        b"<article><p>Real paragraph one with plenty of words.</p>"
+        b"<p>Second real paragraph.</p></article>"
+        b"<footer>(c)</footer></body></html>"
+    )
+    assert extract_main_content(html) == (
+        b"Real paragraph one with plenty of words.\nSecond real paragraph."
+    )
+
+
+def test_density_strips_link_stuffed_div():
+    """Rule-based stripping can't drop a plain-div link sidebar; the
+    density scorer can."""
+    page = (
+        b"<html><body>"
+        b"<div><a href='/a'>Link one</a> <a href='/b'>Link two</a>"
+        b" <a href='/c'>Link three</a></div>"
+        b"<div><p>The real article text body with substance and many "
+        b"words of content.</p><p>Second paragraph of the piece.</p></div>"
+        b"</body></html>"
+    )
+    got = extract_main_content(page)
+    assert b"Link one" not in got
+    assert got.startswith(b"The real article")
+
+
+def test_density_fallback_no_containers():
+    assert extract_main_content(b"<p>solo</p>") == b"solo"
+    assert extract_main_content(b"") == b""
+
+
+def test_density_never_crashes_on_fuzz():
+    import random
+
+    rng = random.Random(5)
+    for _ in range(300):
+        n = rng.randrange(0, 200)
+        extract_main_content(bytes(rng.randrange(256) for _ in range(n)))
