@@ -88,8 +88,10 @@ def run_headline(pool: int | None = None) -> dict:
     else:
         concurrency = (pool, pool)
     t0 = time.monotonic()
+    from pdf_parser_ray.sources.synth import PIPELINE_COLUMNS
+
     ds = build_extract_ds(
-        ray.data.read_parquet(pages_path),
+        ray.data.read_parquet(pages_path, columns=PIPELINE_COLUMNS),
         concurrency=concurrency,
         batch_size=128,
     )

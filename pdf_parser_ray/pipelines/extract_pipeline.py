@@ -145,7 +145,12 @@ def run_extract_job(
         if unit_id in done:
             continue
         t0 = time.monotonic()
-        pages = ray.data.read_parquet(pages_path)
+        from ..sources.synth import PIPELINE_COLUMNS
+
+        try:
+            pages = ray.data.read_parquet(pages_path, columns=PIPELINE_COLUMNS)
+        except Exception:
+            pages = ray.data.read_parquet(pages_path)  # non-standard schema
         routed = pages.map_batches(make_router(num_partitions), batch_format="pyarrow")
         if unit_id == giant_unit_id:
             unit_ds = routed.map_batches(

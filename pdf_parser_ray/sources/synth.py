@@ -209,8 +209,19 @@ def build_pages_table(sf_dir: str, repeat: int = 1) -> str:
     return out
 
 
-def read_pages(sf_dir: str, repeat: int = 1):
-    """Ray Dataset over the (cached) synthetic pages table."""
+PIPELINE_COLUMNS = ["url", "warc_ts", "html", "lang"]  # stale `text` pruned
+
+
+def read_pages(sf_dir: str, repeat: int = 1, columns: list[str] | None = None):
+    """Ray Dataset over the (cached) synthetic pages table.
+
+    Default column set prunes the upstream ``text`` column at the READ
+    (the engine recomputes text; hauling the stale copy through the
+    object store is pure waste — SURVEY.md "prune at the read").
+    Pass ``columns=None ... columns=ALL_COLUMNS`` for the full shape.
+    """
     import ray.data
 
-    return ray.data.read_parquet(build_pages_table(sf_dir, repeat))
+    if columns is None:
+        columns = PIPELINE_COLUMNS
+    return ray.data.read_parquet(build_pages_table(sf_dir, repeat), columns=columns)
