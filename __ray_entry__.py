@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "exact_dedup_text": dedup.exact_dedup_text,
         "exact_dedup_key": dedup.exact_dedup_key,
+        "url_dedup": dedup.url_dedup,
         "minhash_exact_pairs": lambda sf: dedup.minhash_dup_pairs(sf, threshold=0.999),
         "dedup_clusters": dedup.dedup_clusters,
         "sample_10pct": relational.sample_10pct,
@@ -442,6 +443,13 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_key": """
             SELECT lang, n_chars, MIN(doc_id) AS doc_id
             FROM documents GROUP BY lang, n_chars
+        """,
+        "url_dedup": """
+            SELECT doc_id,
+                   CAST(1704067200000000 + doc_id * 1000000
+                        + CASE WHEN doc_id % 7 = 0 THEN 3600000000 ELSE 0 END
+                        AS BIGINT) AS ts_us
+            FROM documents
         """,
         "minhash_exact_pairs": _DUP_CORPUS
         + """

@@ -261,6 +261,47 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
     )
 
 
+def url_dedup(sf_dir: str):
+    """Exact dedup by url over the pages table (SURVEY.md §2.6:
+    defensive — WARC dumps repeat urls): keep the LATEST warc_ts per
+    url, tie-broken deterministically. Duplicate rows are synthesized
+    inline (every 7th doc re-crawled one hour later) so the winner set
+    is oracle-stateable."""
+    from ..sources.synth import read_pages
+
+    pages = read_pages(sf_dir, columns=["url", "warc_ts"])
+
+    def with_recrawls(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        ts = t["warc_ts"].cast(pa.int64()).to_pylist()
+        add_u, add_t = [], []
+        for u, s in zip(urls, ts):
+            if int(u.rsplit("/", 1)[1]) % 7 == 0:
+                add_u.append(u)
+                add_t.append(s + 3_600_000_000)  # re-crawl 1h later
+        return pa.table(
+            {
+                "url": pa.array(urls + add_u, pa.string()),
+                "ts_us": pa.array(ts + add_t, pa.int64()),
+            }
+        )
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        winner = g["ts_us"].max()
+        return pd.DataFrame(
+            {
+                "doc_id": [int(g["url"].iloc[0].rsplit("/", 1)[1])],
+                "ts_us": [int(winner)],
+            }
+        )
+
+    return (
+        pages.map_batches(with_recrawls, batch_format="pyarrow")
+        .groupby("url")
+        .map_groups(latest, batch_format="pandas")
+    )
+
+
 def dedup_clusters(sf_dir: str, threshold: float = 0.999):
     """Connected components over verified duplicate pairs: (doc_id,
     cluster_id) for every document in a component of size > 1, with
