@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_props_agg": relational.events_props_agg,
         "sessions_per_user": relational.sessions_per_user,
+        "events_running": relational.events_running,
         # text analysis
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -417,6 +418,13 @@ def oracle_sql() -> dict[str, str]:
                          OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
               FROM events
             ) t GROUP BY user_id
+        """,
+        "events_running": """
+            SELECT event_id,
+                   CAST(row_number() OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS running_n
+            FROM events
         """,
         "token_counts": """
             SELECT doc_id,

@@ -37,6 +37,8 @@ BENCH_QUERIES = (
     "quality_scores",
     "exact_dedup_text",
     "minhash_near_pairs",
+    "html_main_content",
+    "pdf_image_stats",
     "embedding_dup_pairs",
     "ann_topk",
 )

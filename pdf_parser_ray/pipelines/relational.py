@@ -237,6 +237,29 @@ def events_hourly(sf_dir: str):
     )
 
 
+def events_running(sf_dir: str):
+    """Ordered window function: per-user running event number by
+    (ts, event_id). The groupby shuffle co-locates each user's events;
+    the window itself is a sorted cumcount inside map_groups — the
+    engine's general recipe for ROW_NUMBER/LAG/cumulative windows."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "running_n": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(window, batch_format="pandas")
+
+
 def sessions_per_user(sf_dir: str, gap_sec: int = 1800):
     """Sessionization: per-user sorted scan inside map_groups (the
     groupby shuffle co-locates each user's events; ordering within the
