@@ -98,6 +98,60 @@ def partition_metrics(extracted_ds):
     )
 
 
+def stage_pages(
+    pages_path: str,
+    staging_dir: str,
+    *,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    num_units: int = 8,
+) -> str:
+    """Route the input ONCE and write it hive-partitioned by resume
+    unit (``unit_id=K/``), so each unit sub-job reads only its own
+    files — the fleet-scale layout from DESIGN.md "Unit reads", which
+    removes the per-unit full-input re-read. Idempotent (atomic commit
+    + _SUCCESS marker)."""
+    import ray.data
+
+    marker = os.path.join(staging_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return staging_dir
+
+    from ..sources.synth import PIPELINE_COLUMNS
+
+    try:
+        pages = ray.data.read_parquet(pages_path, columns=PIPELINE_COLUMNS)
+    except Exception:
+        pages = ray.data.read_parquet(pages_path)
+    routed = pages.map_batches(make_router(num_partitions), batch_format="pyarrow")
+
+    # unit assignment must mirror run_extract_job's bounds EXACTLY:
+    # build the lookup from the same formula instead of re-deriving it
+    import numpy as np
+
+    unit_of = np.empty(num_partitions, dtype=np.int32)
+    for u in range(num_units):
+        lo = u * num_partitions // num_units
+        hi = (u + 1) * num_partitions // num_units
+        unit_of[lo:hi] = u
+
+    def add_unit(t: pa.Table) -> pa.Table:
+        pid = t["partition_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "unit_id", pa.array(unit_of[pid], type=pa.int32())
+        )
+
+    tmp = staging_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(staging_dir, ignore_errors=True)
+    routed.map_batches(add_unit, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["unit_id"]
+    )
+    os.rename(tmp, staging_dir)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return staging_dir
+
+
 def run_extract_job(
     pages_path: str,
     out_dir: str,
@@ -108,6 +162,7 @@ def run_extract_job(
     batch_size: int = 64,
     resume: bool = True,
     giant_cap: int | None = None,
+    staging_dir: str | None = None,
 ) -> list[dict]:
     """Resumable extraction job: per-unit streaming sub-jobs.
 
@@ -122,6 +177,10 @@ def run_extract_job(
     processed by a final dedicated unit — an uncapped 2-actor pool
     with single-row batches, so one multi-GiB document never stalls
     the fleet and still produces real output.
+
+    ``staging_dir``: route + hive-partition the input by unit ONCE
+    (stage_pages) so each unit reads only its own files instead of
+    filtering a full scan — the fleet-scale layout (DESIGN.md).
     """
     import ray.data
 
@@ -129,6 +188,13 @@ def run_extract_job(
 
     if giant_cap is None:
         giant_cap = GIANT_ROW_BYTES
+    if staging_dir is not None:
+        stage_pages(
+            pages_path,
+            staging_dir,
+            num_partitions=num_partitions,
+            num_units=num_units,
+        )
 
     done = mf.done_units(out_dir) if resume else set()
     if not resume:
@@ -145,13 +211,38 @@ def run_extract_job(
         if unit_id in done:
             continue
         t0 = time.monotonic()
-        from ..sources.synth import PIPELINE_COLUMNS
+        if staging_dir is not None and unit_id != giant_unit_id:
+            unit_dir = os.path.join(staging_dir, f"unit_id={unit_id}")
+            if not os.path.isdir(unit_dir):
+                routed = None  # unit had no rows at all
+            else:
+                routed = ray.data.read_parquet(unit_dir)
+        else:
+            from ..sources.synth import PIPELINE_COLUMNS
 
-        try:
-            pages = ray.data.read_parquet(pages_path, columns=PIPELINE_COLUMNS)
-        except Exception:
-            pages = ray.data.read_parquet(pages_path)  # non-standard schema
-        routed = pages.map_batches(make_router(num_partitions), batch_format="pyarrow")
+            try:
+                pages = ray.data.read_parquet(pages_path, columns=PIPELINE_COLUMNS)
+            except Exception:
+                pages = ray.data.read_parquet(pages_path)  # non-standard schema
+            routed = pages.map_batches(
+                make_router(num_partitions), batch_format="pyarrow"
+            )
+        if routed is None:
+            mf.write_unit(
+                out_dir,
+                unit_id,
+                {
+                    "rows": 0,
+                    "ok_rows": 0,
+                    "err_rows": 0,
+                    "bytes_in": 0,
+                    "text_bytes": 0,
+                    "partitions": 0,
+                    "duration_sec": 0.0,
+                    "docs_per_sec": 0.0,
+                },
+            )
+            continue
         if unit_id == giant_unit_id:
             unit_ds = routed.map_batches(
                 lambda t, cap=giant_cap: t.filter(

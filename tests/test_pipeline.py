@@ -231,3 +231,27 @@ def test_giant_lane_extracts(ray_session, pages_path, tmp_path):
     assert total == 500
     ok_total = sum(r["ok_rows"] for r in results)
     assert ok_total == 334  # every pdf/html row extracted despite the cap
+
+
+def test_staged_job_matches_unstaged(ray_session, pages_path, tmp_path):
+    """Hive-staged unit reads (fleet-scale layout) produce identical
+    totals to the filter-scan path."""
+    from pdf_parser_ray.pipelines.extract_pipeline import run_extract_job
+    from pdf_parser_ray.state import manifest as mf
+
+    out_dir = str(tmp_path / "staged_job")
+    results = run_extract_job(
+        pages_path,
+        out_dir,
+        num_units=4,
+        num_partitions=16,
+        concurrency=2,
+        staging_dir=str(tmp_path / "staging"),
+    )
+    assert sum(r["rows"] for r in results) == 500
+    assert sum(r["ok_rows"] for r in results) == 334
+    assert mf.done_units(out_dir) == {0, 1, 2, 3, 4}
+
+    import ray.data
+
+    assert ray.data.read_parquet(out_dir).count() == 500
