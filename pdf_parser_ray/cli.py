@@ -46,6 +46,9 @@ def main(argv=None):
     p_run.add_argument("--partitions", type=int, default=256)
     p_run.add_argument("--batch-size", type=int, default=128)
     p_run.add_argument("--no-resume", action="store_true")
+    p_run.add_argument("--staging-dir", default=None,
+                       help="hive-stage the routed input by unit first "
+                            "(fleet-scale layout; see DESIGN.md)")
 
     p_synth = sub.add_parser("synth", help="build the synthetic pages table")
     p_synth.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -79,6 +82,7 @@ def main(argv=None):
                 num_partitions=args.partitions,
                 batch_size=args.batch_size,
                 resume=not args.no_resume,
+                staging_dir=args.staging_dir,
             )
             print(json.dumps({"units_processed": results}))
     finally:

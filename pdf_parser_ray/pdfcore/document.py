@@ -55,15 +55,28 @@ from .xref import XRef
 
 
 class Page:
-    """src/page.rs:27-32 plus the text-path fields (contents/resources)."""
+    """src/page.rs:27-32 plus the text-path fields.
 
-    __slots__ = ("page_number", "thumbnail", "external_objects", "node_dict")
+    ``inherited_resources``: nearest ancestor Pages node's /Resources
+    (PDF 1.7 inheritance, Table 3.27). Used ONLY by the text path when
+    the page has no own /Resources; the XObject collection keeps the
+    reference's page-level-only behavior (parity)."""
 
-    def __init__(self, page_number, thumbnail, external_objects, node_dict):
+    __slots__ = (
+        "page_number",
+        "thumbnail",
+        "external_objects",
+        "node_dict",
+        "inherited_resources",
+    )
+
+    def __init__(self, page_number, thumbnail, external_objects, node_dict,
+                 inherited_resources=None):
         self.page_number = page_number
         self.thumbnail = thumbnail
         self.external_objects = external_objects
         self.node_dict = node_dict
+        self.inherited_resources = inherited_resources
 
 
 class ImageParam:
@@ -272,39 +285,49 @@ class PdfDocument:
         ensure_type(root_dict, "Pages")
 
         kids = ensure_array(root_dict[VAL]["Kids"])
+        inherited = root_dict[VAL].get("Resources")
         page_list: list[Page] = []
         for kid in kids[VAL]:
             kid_ref = ensure_ref(kid)
-            page_list.extend(self._parse_page_tree_node(kid_ref, len(page_list) + 1))
+            page_list.extend(
+                self._parse_page_tree_node(kid_ref, len(page_list) + 1, inherited)
+            )
         return page_list
 
-    def _parse_page_tree_node(self, node_ref: tuple, start_page_number: int) -> list[Page]:
+    def _parse_page_tree_node(
+        self, node_ref: tuple, start_page_number: int, inherited=None
+    ) -> list[Page]:
         node_obj = ensure_iobj(self.resolve(node_ref))[VAL]
         node_dict = ensure_dict_with_key(node_obj, ["Type"])
 
         type_name = ensure_name(node_dict[VAL]["Type"])[VAL]
         if type_name == "Page":
-            return [self._parse_page_node(node_dict, start_page_number)]
+            return [self._parse_page_node(node_dict, start_page_number, inherited)]
         if type_name == "Pages":
             node_dict = ensure_dict_with_key(node_obj, ["Kids", "Count"])
             kids = ensure_array(node_dict[VAL]["Kids"])
+            inherited = node_dict[VAL].get("Resources") or inherited
             page_list: list[Page] = []
             for kid in kids[VAL]:
                 kid_ref = ensure_ref(kid)
                 page_list.extend(
                     self._parse_page_tree_node(
-                        kid_ref, start_page_number + len(page_list)
+                        kid_ref, start_page_number + len(page_list), inherited
                     )
                 )
             return page_list
         # src/page_tree.rs:129 panics "page nor pages"
         raise PanicError("page nor pages")
 
-    def _parse_page_node(self, node_dict: tuple, page_number: int) -> Page:
+    def _parse_page_node(
+        self, node_dict: tuple, page_number: int, inherited=None
+    ) -> Page:
         external_objects = self._extract_external_objects(node_dict)
         thumb = node_dict[VAL].get("Thumb")
         thumbnail = ensure_ref(thumb) if thumb is not None else None
-        return Page(page_number, thumbnail, external_objects, node_dict)
+        return Page(
+            page_number, thumbnail, external_objects, node_dict, inherited
+        )
 
     def _extract_external_objects(self, node_dict: tuple) -> list[tuple]:
         """All indirect-ref values under Resources/XObject (V12)."""

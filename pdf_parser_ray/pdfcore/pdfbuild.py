@@ -185,6 +185,7 @@ def build_text_pdf(
     xref_kind: str = "classic",       # classic | stream | objstm | prev
     image: dict | None = None,        # {width, height, pixels, smask_pixels?}
     thumbnail: bool = False,          # /Thumb ref on page 1 (V13)
+    inherit_resources: bool = False,  # /Resources on the Pages node only
 ) -> bytes:
     """A PDF whose extracted text (textextract rules) is exactly ``text``.
 
@@ -328,7 +329,9 @@ def build_text_pdf(
             filt = b""
 
         xobj = image_clause if not page_nums else b""  # page 1 only
-        if font_num is not None:
+        if inherit_resources:
+            res = b"" if not xobj else b"/Resources << %s >>" % xobj.strip()
+        elif font_num is not None:
             res = b"/Resources << /Font << /F1 %d 0 R >>%s >>" % (font_num, xobj)
         elif inline_font is not None:
             res = b"/Resources << /Font << /F1 %s >>%s >>" % (inline_font, xobj)
@@ -350,9 +353,19 @@ def build_text_pdf(
 
     kids = b" ".join(b"%d 0 R" % p for p in page_nums)
     emit_dict(catalog, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    pages_res = b""
+    if inherit_resources:
+        if font_num is not None:
+            pages_res = b" /Resources << /Font << /F1 %d 0 R >> >>" % font_num
+        else:
+            pages_res = (
+                b" /Resources << /Font << /F1 << /Type /Font /Subtype /Type1 "
+                b"/BaseFont /Helvetica >> >> >>"
+            )
     emit_dict(
         pages_num,
-        b"<< /Type /Pages /Kids [ %s ] /Count %d >>" % (kids, len(page_nums)),
+        b"<< /Type /Pages /Kids [ %s ] /Count %d%s >>"
+        % (kids, len(page_nums), pages_res),
     )
 
     if use_objstm:

@@ -328,6 +328,11 @@ def _page_fonts(doc, page, cmap_cache: dict | None = None) -> dict[str, _Font]:
     node = page.node_dict
     resources = node[VAL].get("Resources")
     if resources is None:
+        # PDF 1.7 §3.6.2 inheritance: fall back to the nearest ancestor
+        # Pages node's /Resources (text path only; reference parity for
+        # XObjects is preserved in document.py)
+        resources = getattr(page, "inherited_resources", None)
+    if resources is None:
         return fonts
     if resources[TAG] == "ref":
         resources = ensure_iobj(doc.resolve(resources))[VAL]

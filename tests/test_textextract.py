@@ -193,3 +193,18 @@ def test_filter_chain_roundtrip():
     text = b"chained filters content\nsecond line"
     got, _ = roundtrip(text, stream_filter="flate+lzw", page_size=1)
     assert got == text
+
+
+def test_inherited_resources_font():
+    """PDF 1.7 inheritance: /Resources on the Pages node only; the text
+    path picks up the inherited font (cmap variant forces font use)."""
+    text = b"inherited resources text"
+    pdf = pdfbuild.build_text_pdf(text, show_variant="cmap", inherit_resources=True)
+    assert b"/Resources" not in pdf.split(b"/Type /Page /")[1].split(b">>")[0]
+    got, _ = roundtrip_bytes(pdf)
+    assert got == text
+
+
+def roundtrip_bytes(pdf):
+    doc = PdfDocument(pdf)
+    return extract_text(doc)
