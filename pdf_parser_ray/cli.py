@@ -57,7 +57,41 @@ def main(argv=None):
     p_man = sub.add_parser("manifest", help="print a job's lineage manifest")
     p_man.add_argument("--out", required=True)
 
+    # the reference CLI's shape (src/main.rs:10-48): one file in, page
+    # images out — PPM instead of JPEG (no JPEG codec in this env)
+    p_img = sub.add_parser(
+        "extract-images", help="reference-CLI equivalent: page images from one PDF"
+    )
+    p_img.add_argument("pdf", help="path to a PDF file")
+    p_img.add_argument("--pages", default="1-5",
+                       help="page range, e.g. 1-5 (reference default)")
+    p_img.add_argument("--out", default=".", help="output directory")
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "extract-images":
+        import os
+
+        from .pdfcore.document import PdfDocument
+
+        buf = open(args.pdf, "rb").read()
+        doc = PdfDocument(buf)
+        lo, _, hi = args.pages.partition("-")
+        pages = list(range(int(lo), int(hi or lo) + 1))
+        pages = [p for p in pages if 1 <= p <= len(doc.pages)]
+        os.makedirs(args.out, exist_ok=True)
+        written = []
+        for page_no, images in zip(pages, doc.extract_images(pages)):
+            for idx, img in enumerate(images):
+                if img["rgb"] is None:
+                    continue  # DCT stub: params known, pixels undecodable here
+                path = os.path.join(args.out, f"{page_no}-{idx}.ppm")
+                with open(path, "wb") as f:
+                    f.write(b"P6\n%d %d\n255\n" % (img["width"], img["height"]))
+                    f.write(img["rgb"])
+                written.append(path)
+        print(json.dumps({"pages": pages, "images_written": written}))
+        return 0
 
     if args.cmd == "manifest":
         from .state import manifest as mf

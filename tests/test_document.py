@@ -184,3 +184,41 @@ def test_thumbnail_ref_captured():
     stream = doc.resolve(doc.pages[0].thumbnail)
     assert stream[0] == "stream"
     assert PdfDocument(pdfbuild.build_text_pdf(b"x")).pages[0].thumbnail is None
+
+
+def test_cli_extract_images(tmp_path):
+    """Reference-CLI parity surface (src/main.rs:10-48): file in,
+    per-page image files out; no Ray involved."""
+    import json
+    import subprocess
+    import sys
+
+    pdf_path = tmp_path / "doc.pdf"
+    pixels = bytes(range(48))
+    pdf_path.write_bytes(
+        pdfbuild.build_image_pdf(
+            [{"width": 4, "height": 4, "colorspace": "DeviceRGB", "pixels": pixels}]
+        )
+    )
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "pdf_parser_ray.cli",
+            "extract-images",
+            str(pdf_path),
+            "--pages",
+            "1",
+            "--out",
+            str(tmp_path / "imgs"),
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd="/root/repo",
+    )
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert len(result["images_written"]) == 1
+    data = (tmp_path / "imgs" / "1-0.ppm").read_bytes()
+    assert data.startswith(b"P6\n4 4\n255\n")
+    assert data.endswith(pixels)
