@@ -341,6 +341,8 @@ def oracle_sql() -> dict[str, str]:
                           + CASE WHEN (doc_id // 3) % 5 = 0 THEN
                                 (CASE WHEN (doc_id // 3) % 10 = 0 THEN 2 ELSE 1 END)
                             ELSE 0 END
+                          + CASE WHEN ((doc_id // 3) // 16) % 2 = 1
+                                 AND (doc_id // 3) % 5 <> 0 THEN 1 ELSE 0 END
                         AS INTEGER) AS n_objects
             FROM documents
             WHERE doc_id % 3 = 0 AND ((doc_id // 3) // 4) % 4 = 0

@@ -186,6 +186,7 @@ def build_text_pdf(
     image: dict | None = None,        # {width, height, pixels, smask_pixels?}
     thumbnail: bool = False,          # /Thumb ref on page 1 (V13)
     inherit_resources: bool = False,  # /Resources on the Pages node only
+    form_xobject: bool = False,       # content lives in a Form XObject (Do)
 ) -> bytes:
     """A PDF whose extracted text (textextract rules) is exactly ``text``.
 
@@ -209,6 +210,7 @@ def build_text_pdf(
                 indirect_length=indirect_length,
                 xref_kind="classic",
                 image=image,
+                form_xobject=form_xobject,
             )
         )
 
@@ -341,14 +343,46 @@ def build_text_pdf(
                 b"/BaseFont /Helvetica >> >>%s >>" % xobj
             )
         thumb = thumb_clause if not page_nums else b""
-        emit_dict(
-            page_num,
-            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] %s%s "
-            b"/Contents %d 0 R >>" % (pages_num, res, thumb, content_num),
-        )
-        w.add_stream(content_num, filt, data, length_ref=length_num)
-        if length_num is not None:
-            w.add(length_num, b"%d" % len(data))
+        if form_xobject:
+            # page content is just `q /Fx0 Do Q`; the real text ops live
+            # inside a /Subtype /Form XObject with its OWN /Resources
+            form_num = w.alloc()
+            if font_num is not None:
+                form_res = b"/Resources << /Font << /F1 %d 0 R >> >>" % font_num
+            elif inline_font is not None:
+                form_res = b"/Resources << /Font << /F1 %s >> >>" % inline_font
+            else:
+                form_res = (
+                    b"/Resources << /Font << /F1 << /Type /Font /Subtype /Type1 "
+                    b"/BaseFont /Helvetica >> >> >>"
+                )
+            w.add_stream(
+                form_num,
+                b"/Type /XObject /Subtype /Form /BBox [ 0 0 612 792 ] %s%s"
+                % (form_res, filt and b" " + filt or b""),
+                data,
+            )
+            res_with_form = (
+                b"/Resources << /XObject << /Fx0 %d 0 R >> >>" % form_num
+            )
+            emit_dict(
+                page_num,
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] %s%s "
+                b"/Contents %d 0 R >>"
+                % (pages_num, res_with_form, thumb, content_num),
+            )
+            w.add_stream(content_num, b"", b"q /Fx0 Do Q", length_ref=length_num)
+            if length_num is not None:
+                w.add(length_num, b"%d" % len(b"q /Fx0 Do Q"))
+        else:
+            emit_dict(
+                page_num,
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] %s%s "
+                b"/Contents %d 0 R >>" % (pages_num, res, thumb, content_num),
+            )
+            w.add_stream(content_num, filt, data, length_ref=length_num)
+            if length_num is not None:
+                w.add(length_num, b"%d" % len(data))
         page_nums.append(page_num)
 
     kids = b" ".join(b"%d 0 R" % p for p in page_nums)

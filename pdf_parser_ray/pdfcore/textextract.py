@@ -324,14 +324,17 @@ def _page_fonts(doc, page, cmap_cache: dict | None = None) -> dict[str, _Font]:
     ``cmap_cache`` maps ToUnicode stream bytes (hash) -> ToUnicodeCMap;
     pass a per-actor dict to amortize CMap parsing across documents.
     """
-    fonts: dict[str, _Font] = {}
-    node = page.node_dict
-    resources = node[VAL].get("Resources")
+    resources = page.node_dict[VAL].get("Resources")
     if resources is None:
         # PDF 1.7 §3.6.2 inheritance: fall back to the nearest ancestor
         # Pages node's /Resources (text path only; reference parity for
         # XObjects is preserved in document.py)
         resources = getattr(page, "inherited_resources", None)
+    return _fonts_from_resources(doc, resources, cmap_cache)
+
+
+def _fonts_from_resources(doc, resources, cmap_cache: dict | None = None) -> dict[str, _Font]:
+    fonts: dict[str, _Font] = {}
     if resources is None:
         return fonts
     if resources[TAG] == "ref":
@@ -414,80 +417,146 @@ def _page_content(doc, page) -> bytes:
     return doc.get_stream_decoded(ensure_stream(stream))
 
 
+_MAX_FORM_DEPTH = 8
+
+
+def _page_xobjects(doc, page) -> dict:
+    """name -> raw /XObject dict entry (page or inherited resources)."""
+    resources = page.node_dict[VAL].get("Resources")
+    if resources is None:
+        resources = getattr(page, "inherited_resources", None)
+    return _xobjects_from_resources(doc, resources)
+
+
+def _xobjects_from_resources(doc, resources) -> dict:
+    if resources is None:
+        return {}
+    if resources[TAG] == "ref":
+        resources = ensure_iobj(doc.resolve(resources))[VAL]
+    if resources[TAG] != "dict":
+        return {}
+    xobj = resources[VAL].get("XObject")
+    if xobj is None:
+        return {}
+    if xobj[TAG] == "ref":
+        xobj = ensure_iobj(doc.resolve(xobj))[VAL]
+    return dict(xobj[VAL]) if xobj[TAG] == "dict" else {}
+
+
 def extract_page_text(doc, page, cmap_cache: dict | None = None) -> bytes:
-    """Run the text operators of one page; returns UTF-8-ish bytes."""
+    """Run the text operators of one page; returns UTF-8-ish bytes.
+
+    ``Do`` on a /Subtype /Form XObject recurses into the form's content
+    stream with the form's own /Resources (falling back to the caller's
+    — PDF 1.7 §4.9), depth-capped at 8. Image XObjects under Do carry
+    no text and are skipped.
+    """
     content = _page_content(doc, page)
     if not content:
         return b""
-    fonts = _page_fonts(doc, page, cmap_cache)
 
     out = bytearray()
-    stack: list = []
-    font: _Font | None = None
     shown_since_break = False
 
-    def show(payload: bytes) -> None:
+    def run(content: bytes, fonts: dict, xobjects: dict, depth: int) -> None:
         nonlocal shown_since_break
-        if font is not None and font.cmap is not None:
-            out.extend(font.cmap.map_bytes(payload).encode("utf-8"))
-        elif font is not None and font.enc_map is not None:
-            table = font.enc_map
-            out.extend(
-                "".join(table.get(b, "�") for b in payload).encode("utf-8")
+        stack: list = []
+        font: _Font | None = None
+
+        def show(payload: bytes) -> None:
+            nonlocal shown_since_break
+            if font is not None and font.cmap is not None:
+                out.extend(font.cmap.map_bytes(payload).encode("utf-8"))
+            elif font is not None and font.enc_map is not None:
+                table = font.enc_map
+                out.extend(
+                    "".join(table.get(b, "�") for b in payload).encode("utf-8")
+                )
+            else:
+                out.extend(payload)
+            shown_since_break = True
+
+        def line_break() -> None:
+            nonlocal shown_since_break
+            if shown_since_break:
+                out.extend(b"\n")
+            shown_since_break = False
+
+        def do_xobject(name: str) -> None:
+            if depth >= _MAX_FORM_DEPTH:
+                return
+            entry = xobjects.get(name)
+            if entry is None:
+                return
+            resolved = doc.resolve(entry) if entry[TAG] == "ref" else entry
+            if resolved[TAG] != "stream":
+                return
+            d = resolved[VAL]
+            subtype = d[VAL].get("Subtype")
+            if subtype is None or subtype[TAG] != "name" or subtype[VAL] != "Form":
+                return  # image or unknown: no text
+            inner = doc.get_stream_decoded(resolved)
+            own_res = d[VAL].get("Resources")
+            inner_fonts = (
+                _fonts_from_resources(doc, own_res, cmap_cache)
+                if own_res is not None
+                else fonts
             )
-        else:
-            out.extend(payload)
-        shown_since_break = True
+            inner_xobjs = (
+                _xobjects_from_resources(doc, own_res)
+                if own_res is not None
+                else xobjects
+            )
+            run(inner, inner_fonts, inner_xobjs, depth + 1)
 
-    def line_break() -> None:
-        nonlocal shown_since_break
-        if shown_since_break:
-            out.extend(b"\n")
-        shown_since_break = False
+        lexer = ContentLexer(content)
+        arr: list | None = None
+        for kind, val in lexer.tokens():
+            if kind == C_ARR_START:
+                arr = []
+                continue
+            if kind == C_ARR_END:
+                stack.append(arr if arr is not None else [])
+                arr = None
+                continue
+            if arr is not None and kind in (C_NUM, C_STR, C_HEX, C_NAME):
+                arr.append((kind, val))
+                continue
+            if kind in (C_NUM, C_STR, C_HEX, C_NAME, C_DICT_START, C_DICT_END):
+                stack.append((kind, val))
+                continue
+            # operator
+            if val == "Tj":
+                if stack and stack[-1][0] in (C_STR, C_HEX):
+                    show(stack[-1][1])
+            elif val == "TJ":
+                if stack and isinstance(stack[-1], list):
+                    for k, v in stack[-1]:
+                        if k in (C_STR, C_HEX):
+                            show(v)
+            elif val in ("Td", "TD", "T*"):
+                line_break()
+            elif val == "'":
+                line_break()
+                if stack and stack[-1][0] in (C_STR, C_HEX):
+                    show(stack[-1][1])
+            elif val == '"':
+                line_break()
+                if stack and stack[-1][0] in (C_STR, C_HEX):
+                    show(stack[-1][1])
+            elif val == "Tf":
+                if len(stack) >= 2 and stack[-2][0] == C_NAME:
+                    font = fonts.get(stack[-2][1])
+            elif val == "BT":
+                line_break()
+            elif val == "Do":
+                if stack and stack[-1][0] == C_NAME:
+                    do_xobject(stack[-1][1])
+            elif val == "BI":
+                lexer.skip_inline_image()
+            stack.clear()
 
-    lexer = ContentLexer(content)
-    arr: list | None = None
-    for kind, val in lexer.tokens():
-        if kind == C_ARR_START:
-            arr = []
-            continue
-        if kind == C_ARR_END:
-            stack.append(arr if arr is not None else [])
-            arr = None
-            continue
-        if arr is not None and kind in (C_NUM, C_STR, C_HEX, C_NAME):
-            arr.append((kind, val))
-            continue
-        if kind in (C_NUM, C_STR, C_HEX, C_NAME, C_DICT_START, C_DICT_END):
-            stack.append((kind, val))
-            continue
-        # operator
-        if val == "Tj":
-            if stack and stack[-1][0] in (C_STR, C_HEX):
-                show(stack[-1][1])
-        elif val == "TJ":
-            if stack and isinstance(stack[-1], list):
-                for k, v in stack[-1]:
-                    if k in (C_STR, C_HEX):
-                        show(v)
-        elif val in ("Td", "TD", "T*"):
-            line_break()
-        elif val == "'":
-            line_break()
-            if stack and stack[-1][0] in (C_STR, C_HEX):
-                show(stack[-1][1])
-        elif val == '"':
-            line_break()
-            if stack and stack[-1][0] in (C_STR, C_HEX):
-                show(stack[-1][1])
-        elif val == "Tf":
-            if len(stack) >= 2 and stack[-2][0] == C_NAME:
-                font = fonts.get(stack[-2][1])
-        elif val == "BT":
-            line_break()
-        elif val == "BI":
-            lexer.skip_inline_image()
-        stack.clear()
+    run(content, _page_fonts(doc, page, cmap_cache), _page_xobjects(doc, page), 0)
     return bytes(out)
 
 

@@ -35,7 +35,7 @@ import pyarrow as pa
 from ..pdfcore.pdfbuild import build_text_pdf
 
 # bump when generation rules change (invalidates /tmp caches)
-GENVER = "v6"
+GENVER = "v7"
 
 _BASE_TS_US = 1704067200 * 1_000_000  # 2024-01-01T00:00:00Z in epoch micros
 
@@ -76,6 +76,9 @@ def make_pdf_payload(doc_id: int, text: str) -> bytes:
         # alternate the tj_split slot with the /Encoding /Differences
         # variant (inline font: object counts stay formula-stable)
         show_variant = "encdiff"
+    # Form-XObject variant (text behind a Do operator): disjoint from
+    # image rows so the image-stats oracle stays closed-form
+    form = (k // 16) % 2 == 1 and k % 5 != 0
     return build_text_pdf(
         text.encode("utf-8"),
         show_variant=show_variant,
@@ -83,6 +86,7 @@ def make_pdf_payload(doc_id: int, text: str) -> bytes:
         indirect_length=(k % 2 == 0),
         xref_kind=_XREF_KINDS[(k // 4) % 4],
         image=image,
+        form_xobject=form,
     )
 
 

@@ -208,3 +208,58 @@ def test_inherited_resources_font():
 def roundtrip_bytes(pdf):
     doc = PdfDocument(pdf)
     return extract_text(doc)
+
+
+def test_form_xobject_roundtrip():
+    """Text behind a Do/Form XObject extracts identically (PDF 1.7 §4.9)."""
+    text = b"form xobject text\nsecond line"
+    for filt in ("none", "flate", "lzw"):
+        got, _ = roundtrip(text, form_xobject=True, stream_filter=filt, page_size=1)
+        assert got == text
+
+
+def test_form_own_resources_replace_callers():
+    """A form WITH its own /Resources does not inherit the caller's
+    XObjects — a fake self-call therefore resolves nothing at depth 1."""
+    from pdf_parser_ray.pdfcore import textextract
+
+    pdf = pdfbuild.build_text_pdf(b"x", form_xobject=True)
+    doc = PdfDocument(pdf)
+
+    class LoopDoc:
+        def resolve(self, r):
+            return doc.resolve(r)
+
+        def get_stream_decoded(self, s):
+            return b"q /Fx0 Do Q (a) Tj"
+
+    got = textextract.extract_page_text(LoopDoc(), doc.pages[0])
+    assert got == b"aa"
+
+
+def test_form_xobject_cycle_depth_cap(monkeypatch):
+    """A truly cyclic form chain (no own /Resources -> inherits the
+    caller's XObjects incl. itself) terminates at the depth cap."""
+    from pdf_parser_ray.pdfcore import textextract
+
+    pdf = pdfbuild.build_text_pdf(b"x")
+    doc = PdfDocument(pdf)
+    form = ("stream", ("dict", {"Subtype": ("name", "Form", 0)}, 0), 0)
+
+    class CycleDoc:
+        def resolve(self, r):
+            return doc.resolve(r)
+
+        def get_stream_decoded(self, s):
+            if s is form:
+                return b"(a) Tj /Fx0 Do"
+            return doc.get_stream_decoded(s)
+
+    monkeypatch.setattr(
+        textextract, "_page_xobjects", lambda d, p: {"Fx0": form}
+    )
+    monkeypatch.setattr(
+        textextract, "_page_content", lambda d, p: b"/Fx0 Do"
+    )
+    got = textextract.extract_page_text(CycleDoc(), doc.pages[0])
+    assert got == b"a" * textextract._MAX_FORM_DEPTH
