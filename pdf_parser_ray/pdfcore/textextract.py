@@ -10,8 +10,8 @@ reuses the byte-exact kernels from lexer.py, so quirks Q1/Q2/Q5 apply
 to content-stream strings too).
 
 Deterministic assembly rule (normative for this engine's goldens):
-- each show op (Tj / TJ / ' / ") appends decoded bytes; TJ ignores its
-  kerning numbers
+- each show op (Tj / TJ / ' / ") appends decoded bytes; TJ kerning
+  below -180/1000 em reads as a space, smaller adjustments are ignored
 - Td / TD / T* / ' / " and a new BT emit b"\\n" iff text was shown since
   the last break
 - pages are joined with b"\\n"
@@ -63,6 +63,7 @@ class ContentLexer:
     _NUM_RUN = re.compile(rb"[0-9+\-.]+")
     _REG_RUN = re.compile(rb"[^\x00\t\n\x12\r ()<>\[\]{}/%]+")
     _HEX_RUN = re.compile(rb"[0-9a-fA-F]*")
+    _HEX_WS_RUN = re.compile(rb"[0-9a-fA-F\x00\t\n\x0c\r ]*")
     _STR_DELIM = re.compile(rb"[\\()]")
 
     def __init__(self, buf: bytes):
@@ -136,10 +137,14 @@ class ContentLexer:
                     yield (C_DICT_START, None)
                     continue
                 start = self.i
-                end = self._HEX_RUN.match(buf, start + 1).end()
+                end = self._HEX_WS_RUN.match(buf, start + 1).end()
                 if end >= n or buf[end] != 0x3E:
                     raise TextExtractError("unterminated hex string", start)
-                body = parse_hex_string(buf[start + 1 : end])
+                # content streams tolerate whitespace inside hex strings
+                # (spec §3.2.3; the OBJECT lexer stays strict per Q5)
+                body = parse_hex_string(
+                    bytes(b for b in buf[start + 1 : end] if b not in _WS)
+                )
                 self.i = end + 1
                 yield (C_HEX, body)
                 continue
@@ -418,6 +423,9 @@ def _page_content(doc, page) -> bytes:
 
 
 _MAX_FORM_DEPTH = 8
+# TJ kerning below this (thousandths of em) reads as an inter-word
+# space; typical word gaps are -250..-600, glyph nudges within ±100
+_TJ_SPACE_KERN = -180
 
 
 def _page_xobjects(doc, page) -> dict:
@@ -534,6 +542,11 @@ def extract_page_text(doc, page, cmap_cache: dict | None = None) -> bytes:
                     for k, v in stack[-1]:
                         if k in (C_STR, C_HEX):
                             show(v)
+                        elif k == C_NUM and v < _TJ_SPACE_KERN:
+                            # real producers encode inter-word spaces as
+                            # large negative kerning (thousandths of an
+                            # em); small adjustments stay glued
+                            show(b" ")
             elif val in ("Td", "TD", "T*"):
                 line_break()
             elif val == "'":

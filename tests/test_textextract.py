@@ -96,7 +96,9 @@ def test_quote_ops_linebreak():
 
 
 def test_tj_array_ignores_kerning():
-    content = b"BT [ (a) -250 (b) 12.5 (c) ] TJ ET"
+    # small adjustments glue; the -250 word gap becomes a space
+    # (see test_tj_large_kerning_becomes_space)
+    content = b"BT [ (a) -50 (b) 12.5 (c) ] TJ ET"
     pdf = pdfbuild.build_text_pdf(b"x")
     doc = PdfDocument(pdf)
     from pdf_parser_ray.pdfcore import textextract
@@ -263,3 +265,28 @@ def test_form_xobject_cycle_depth_cap(monkeypatch):
     )
     got = textextract.extract_page_text(CycleDoc(), doc.pages[0])
     assert got == b"a" * textextract._MAX_FORM_DEPTH
+
+
+def test_tj_large_kerning_becomes_space():
+    """Real-world TJ: word gaps encoded as large negative kerning."""
+    content = b"BT [ (Hello) -250 (world) -12 (!) ] TJ ET"
+    pdf = pdfbuild.build_text_pdf(b"x")
+    doc = PdfDocument(pdf)
+    from pdf_parser_ray.pdfcore import textextract
+
+    class FakeDoc:
+        def resolve(self, r):
+            return doc.resolve(r)
+
+        def get_stream_decoded(self, s):
+            return content
+
+    got = textextract.extract_page_text(FakeDoc(), doc.pages[0])
+    assert got == b"Hello world!"
+
+
+def test_content_hex_string_with_whitespace():
+    """Content-stream hex strings tolerate whitespace (spec §3.2.3);
+    the object lexer stays strict (Q5)."""
+    toks = list(ContentLexer(b"<48 65 6C\n6C 6F> Tj").tokens())
+    assert toks[0] == ("hex", b"Hello")
