@@ -130,3 +130,25 @@ def test_density_never_crashes_on_fuzz():
     for _ in range(300):
         n = rng.randrange(0, 200)
         extract_main_content(bytes(rng.randrange(256) for _ in range(n)))
+
+
+def test_real_world_sphinx_docs():
+    """Real document smoke: Python's bundled IDLE help page (sphinx
+    HTML with a nav sidebar in plain divs). The density selector must
+    find the article body; the rule-based strip keeps nav (it isn't in
+    suppressible tags here) — exactly the division of labor."""
+    import os
+
+    path = "/root/.pyenv/versions/3.13.0/lib/python3.13/idlelib/help.html"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("bundled sphinx page not present")
+    buf = open(path, "rb").read()
+    text, spans = extract_html_text(buf)
+    assert len(text) > 10_000 and len(spans) > 100
+    main = extract_main_content(buf)
+    assert main.startswith("IDLE".encode())
+    assert b"Integrated Development" in main
+    # the sidebar's "Navigation" header is gone from the main content
+    assert not main.startswith(b"Navigation")
