@@ -25,8 +25,6 @@ import re
 
 from .errors import TextExtractError
 from .lexer import (
-    _HEX_DIGITS,
-    _NON_REGULAR,
     _NUMBER_CHARS,
     parse_hex_string,
     parse_name,

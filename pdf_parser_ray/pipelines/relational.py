@@ -329,6 +329,4 @@ def sample_10pct(sf_dir: str):
 
 def route_counts_ds(extracted_ds):
     """kind -> row count over an extraction output Dataset."""
-    from ray.data.aggregate import Count
-
     return extracted_ds.groupby("kind").count()
