@@ -84,3 +84,59 @@ def test_n_objects_per_kind():
     assert PdfDocument(pdfbuild.build_text_pdf(b"x", xref_kind="stream")).n_objects == base + 1
     assert PdfDocument(pdfbuild.build_text_pdf(b"x", xref_kind="objstm")).n_objects == base + 2
     assert PdfDocument(pdfbuild.build_text_pdf(b"x", xref_kind="prev")).n_objects == base
+
+
+# -- randomized builder x parser interaction coverage --
+
+from hypothesis import given, settings, strategies as st
+
+texts = st.text(
+    alphabet="abcdefghijklmnop qrstuvwxyz0123456789()\\<>&#;\n",
+    min_size=0,
+    max_size=120,
+)
+variants = st.sampled_from(["tj", "tj_split", "hex", "cmap", "encdiff"])
+filters_ = st.sampled_from(["none", "flate", "lzw", "flate+lzw"])
+kinds = st.sampled_from(["classic", "stream", "objstm", "prev"])
+
+
+@given(texts, variants, filters_, kinds, st.booleans(), st.booleans())
+@settings(max_examples=120, deadline=None)
+def test_random_roundtrip_all_variants(text, variant, filt, kind, indirect, form):
+    from pdf_parser_ray.pdfcore.textextract import extract_text
+
+    pdf = pdfbuild.build_text_pdf(
+        text,
+        show_variant=variant,
+        stream_filter=filt,
+        xref_kind=kind,
+        indirect_length=indirect,
+        form_xobject=form,
+        page_size=3,
+    )
+    got, spans = extract_text(PdfDocument(pdf))
+    assert got.decode("utf-8") == text
+    if spans:
+        assert spans[0]["start"] == 0 and spans[-1]["end"] == len(got)
+
+
+@pytest.mark.parametrize("kind", ["classic", "stream", "objstm", "prev"])
+def test_corruption_contained_all_kinds(kind):
+    """Random byte corruption of every xref layout stays a contained
+    PdfError (or parses to something) — never a foreign exception."""
+    import random
+
+    from pdf_parser_ray.pdfcore.textextract import extract_text
+
+    import zlib
+
+    rng = random.Random(zlib.crc32(kind.encode()))
+    good = pdfbuild.build_text_pdf(b"corruption seed doc", xref_kind=kind)
+    for _ in range(120):
+        buf = bytearray(good)
+        for _ in range(rng.randrange(1, 5)):
+            buf[rng.randrange(len(buf))] = rng.randrange(256)
+        try:
+            extract_text(PdfDocument(bytes(buf)))
+        except PdfError:
+            pass
