@@ -60,6 +60,7 @@ _NUMBER_CHARS = frozenset(b"0123456789+-.")
 _NON_REGULAR = frozenset(b"\x00\t\n\x12\r ()<>[]{}/%")
 _HEX_DIGITS = frozenset(b"0123456789abcdefABCDEF")
 _OCTAL_DIGITS = frozenset(b"01234567")
+_WS_SET = frozenset((0, 9, 10, 12, 13, 32))
 
 
 def parse_name(buf: bytes) -> str:
@@ -271,7 +272,7 @@ class Lexer:
             b = buf[i]
 
             # whitespace/EOL runs and comments (all skip, no tokens)
-            if b in (0, 9, 10, 12, 13, 32):
+            if b in _WS_SET:
                 i = self._WS_RUN.match(buf, i).end()
                 head = i
                 continue
