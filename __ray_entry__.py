@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_agg": relational.events_props_agg,
         "sessions_per_user": relational.sessions_per_user,
         "events_running": relational.events_running,
+        "events_minmax": relational.events_minmax,
         # text analysis
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -420,6 +421,15 @@ def oracle_sql() -> dict[str, str]:
                          OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
               FROM events
             ) t GROUP BY user_id
+        """,
+        "events_minmax": """
+            SELECT event_type,
+                   CAST(MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS min_cents,
+                   CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS max_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
         """,
         "events_running": """
             SELECT event_id,

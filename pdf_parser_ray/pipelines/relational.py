@@ -237,6 +237,32 @@ def events_hourly(sf_dir: str):
     )
 
 
+def events_minmax(sf_dir: str):
+    """Min/Max/Count aggregate family per event_type (integer cents)."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Min("value_cents", alias_name="min_cents"),
+            Max("value_cents", alias_name="max_cents"),
+            Count(alias_name="n"),
+        )
+    )
+
+
 def events_running(sf_dir: str):
     """Ordered window function: per-user running event number by
     (ts, event_id). The groupby shuffle co-locates each user's events;
