@@ -8,6 +8,11 @@ docs/s) is written only after the rename. Resume = set-difference of
 the unit grid against existing manifest entries (a driver-side
 anti-join over unit ids — a few thousand entries at 100 TB scale —
 never a Ray Data shuffle; SURVEY.md §2.5).
+
+Concurrency contract: ONE writer per out_dir. Commits are atomic
+(rename) so a crashed writer never leaves a half-unit visible, but two
+simultaneous jobs on the same out_dir would race the renames; run
+concurrent jobs against distinct out_dirs and merge afterwards.
 """
 
 from __future__ import annotations
