@@ -24,6 +24,59 @@ def fnv1a64(data: bytes) -> int:
     return h
 
 
+def _make_crc32_table() -> np.ndarray:
+    """IEEE CRC-32 (reflected, poly 0xEDB88320) byte table — the same
+    algorithm as ``zlib.crc32`` (verified by tests/hypothesis)."""
+    table = np.empty(256, dtype=np.uint32)
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+        table[i] = c
+    return table
+
+
+_CRC32_TABLE = _make_crc32_table()
+
+
+def crc32_of_strings(arr) -> np.ndarray:
+    """Vectorized ``zlib.crc32`` over a pyarrow string/binary array.
+
+    Works column-wise over a zero-copy padded byte matrix: one numpy
+    pass per byte POSITION (urls are ~40 bytes → ~40 passes over n
+    rows), never a Python loop per row. Nulls hash as empty (crc 0).
+    Returns uint32 per row, identical to ``zlib.crc32(s.encode())``.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    bufs = arr.buffers()
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type) else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    lengths = np.diff(offsets)  # null rows have zero extent in offsets
+    maxlen = int(lengths.max()) if n else 0
+    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    if maxlen:
+        col = np.arange(maxlen, dtype=offsets.dtype)
+        idx = offsets[:-1, None] + col[None, :]
+        valid = col[None, :] < lengths[:, None]
+        np.minimum(idx, max(len(data) - 1, 0), out=idx)
+        padded = np.where(valid, data[idx], 0).astype(np.uint32)
+        for j in range(maxlen):
+            m = valid[:, j]
+            nxt = (crc >> np.uint32(8)) ^ _CRC32_TABLE[(crc ^ padded[:, j]) & np.uint32(0xFF)]
+            crc = np.where(m, nxt, crc)
+    crc ^= np.uint32(0xFFFFFFFF)
+    # rows that were all-null / empty: crc32(b"") == 0
+    crc[lengths == 0] = 0
+    return crc
+
+
 def shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
     """uint64 hashes of the n-gram shingle set of a token list
     (reference implementation; TokenHasher is the fast path)."""

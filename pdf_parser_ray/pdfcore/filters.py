@@ -24,12 +24,17 @@ MAX_DECODED_BYTES = 256 * 1024 * 1024
 
 
 def flate_decode(data: bytes, max_bytes: int = MAX_DECODED_BYTES) -> bytes:
+    d = zlib.decompressobj()
     try:
-        out = zlib.decompressobj().decompress(data, max_bytes)
+        out = d.decompress(data, max_bytes)
     except zlib.error as e:
         raise FilterError(f"FlateDecode failed: {e}") from e
     if len(out) >= max_bytes:
         raise FilterError("FlateDecode output exceeds safety cap")
+    if not d.eof:
+        # truncated deflate stream: the reference's whole-buffer inflate
+        # errors here too — silent partial text must not pass as ok
+        raise FilterError("FlateDecode stream truncated (no final block)")
     return out
 
 

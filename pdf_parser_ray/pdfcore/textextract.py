@@ -362,10 +362,12 @@ def _fonts_from_resources(doc, resources, cmap_cache: dict | None = None) -> dic
         if tou is not None:
             stream = ensure_stream(doc.resolve(ensure_ref(tou)))
             if cmap_cache is not None:
-                # cache keyed by the RAW stream bytes: a hit skips the
-                # filter decode AND the CMap parse (identical ToUnicode
-                # streams recur constantly across a real corpus)
-                key = hash(doc.get_stream_raw(stream))
+                # cache keyed by the RAW stream bytes themselves (dict
+                # equality — collision-proof, unlike builtin hash()): a
+                # hit skips the filter decode AND the CMap parse
+                # (identical ToUnicode streams recur constantly across
+                # a real corpus)
+                key = doc.get_stream_raw(stream)
                 cmap = cmap_cache.get(key)
                 if cmap is None:
                     cmap = ToUnicodeCMap(doc.get_stream_decoded(stream))

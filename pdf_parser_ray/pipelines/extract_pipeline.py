@@ -196,10 +196,19 @@ def run_extract_job(
             num_units=num_units,
         )
 
-    done = mf.done_units(out_dir) if resume else set()
-    if not resume:
+    job_params = {
+        "num_units": num_units,
+        "num_partitions": num_partitions,
+        "giant_cap": giant_cap,
+        "pages_path": os.path.abspath(pages_path),
+    }
+    if resume:
+        mf.check_job(out_dir, job_params)  # refuse a mismatched unit grid
+    else:
         shutil.rmtree(out_dir, ignore_errors=True)
+    done = mf.done_units(out_dir) if resume else set()
     os.makedirs(out_dir, exist_ok=True)
+    mf.write_job(out_dir, job_params)
 
     results = []
     bounds = [

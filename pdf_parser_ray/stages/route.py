@@ -6,7 +6,8 @@ documented; the PDF arm matches the reference header acceptance —
 
 - ``pdf``   if ``%PDF-`` occurs in the first 15 bytes
 - ``html``  if the first non-whitespace byte is ``<``
-- ``other`` otherwise (incl. empty payloads)
+- ``other`` otherwise (incl. empty and NULL payloads — a corrupt row
+  routes, it never raises; the error channel is downstream)
 
 Also computes:
 - ``partition_id`` = crc32(url) % num_partitions — the ONE partition
@@ -15,21 +16,29 @@ Also computes:
   languages, unlike Python's salted ``hash()``.
 - ``nbytes`` = payload size (skew diagnostics / giant-row routing).
 
-Only 15-byte prefixes are materialized per row; payload columns are
-untouched (zero-copy pass-through of the Arrow block).
+Fully Arrow/numpy-vectorized: the kind sniff runs as pyarrow compute
+kernels over 15-byte prefix slices and the crc32 is a table-driven
+numpy pass per byte position (functions/hashing.crc32_of_strings) —
+no per-row Python on a stage that touches every row of the corpus.
+``sniff_kind`` is kept as the scalar reference implementation the
+vectorized path is tested against.
 """
 
 from __future__ import annotations
 
-import zlib
-
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..functions.hashing import crc32_of_strings
 
 _WS = b"\t\n\x0c\r "
 
 
-def sniff_kind(prefix: bytes) -> str:
+def sniff_kind(prefix: bytes | None) -> str:
+    """Scalar reference router (None/empty -> 'other', never raises)."""
+    if not prefix:
+        return "other"
     if b"%PDF-" in prefix:
         return "pdf"
     stripped = prefix.lstrip(_WS)
@@ -38,17 +47,33 @@ def sniff_kind(prefix: bytes) -> str:
     return "other"
 
 
+def sniff_kinds_vec(payloads: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized sniff over a binary column: kind per row."""
+    prefix = pc.binary_slice(payloads, 0, 15)
+    is_pdf = pc.match_substring(prefix, "%PDF-")
+    # first non-[\t\n\f\r ] byte is '<'
+    is_html = pc.match_substring_regex(prefix, r"^[\t\n\x0c\r ]*<")
+    kind = pc.if_else(
+        pc.fill_null(is_pdf, False),
+        pa.scalar("pdf"),
+        pc.if_else(pc.fill_null(is_html, False), pa.scalar("html"), pa.scalar("other")),
+    )
+    return kind
+
+
 def make_router(num_partitions: int):
     """Returns a pyarrow map_batches fn adding kind/partition_id/nbytes."""
 
     def route_batch(batch: pa.Table) -> pa.Table:
-        prefixes = pc.binary_slice(batch["html"], 0, 15).to_pylist()
-        kinds = [sniff_kind(p) for p in prefixes]
-        urls = batch["url"].to_pylist()
-        pids = [zlib.crc32(u.encode("utf-8")) % num_partitions for u in urls]
-        nbytes = pc.binary_length(batch["html"]).cast(pa.int64())
+        kinds = sniff_kinds_vec(batch["html"])
+        pids = (crc32_of_strings(batch["url"]) % np.uint32(num_partitions)).astype(
+            np.int32
+        )
+        nbytes = pc.fill_null(
+            pc.binary_length(batch["html"]).cast(pa.int64()), 0
+        )
         return (
-            batch.append_column("kind", pa.array(kinds, type=pa.string()))
+            batch.append_column("kind", kinds)
             .append_column("partition_id", pa.array(pids, type=pa.int32()))
             .append_column("nbytes", nbytes)
         )

@@ -33,12 +33,64 @@ def unit_out_dir(out_dir: str, unit_id: int) -> str:
     return os.path.join(out_dir, f"unit={unit_id:05d}")
 
 
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _write_json_durable(path: str, obj: dict) -> None:
+    """tmp-write + fsync(file) + rename + fsync(dir): after a power
+    loss an entry either exists complete or not at all — crash-resume
+    is this module's contract, so rename alone is not enough."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+    _fsync_dir(os.path.dirname(path))
+
+
 def write_unit(out_dir: str, unit_id: int, metrics: dict) -> None:
     os.makedirs(manifest_dir(out_dir), exist_ok=True)
-    tmp = unit_path(out_dir, unit_id) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"unit_id": unit_id, **metrics}, f, sort_keys=True)
-    os.rename(tmp, unit_path(out_dir, unit_id))
+    _write_json_durable(unit_path(out_dir, unit_id), {"unit_id": unit_id, **metrics})
+
+
+JOB_PARAM_KEYS = ("num_units", "num_partitions", "giant_cap", "pages_path")
+
+
+def job_path(out_dir: str) -> str:
+    return os.path.join(manifest_dir(out_dir), "job.json")
+
+
+def write_job(out_dir: str, params: dict) -> None:
+    """Record the unit-grid parameters on first run (resume safety)."""
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    _write_json_durable(job_path(out_dir), params)
+
+
+def check_job(out_dir: str, params: dict) -> None:
+    """Refuse to resume when the unit grid changed: same out_dir with a
+    different --units / --partitions / giant cap would silently skip
+    units whose id matches but whose partition range differs."""
+    p = job_path(out_dir)
+    if not os.path.exists(p):
+        return
+    with open(p) as f:
+        prev = json.load(f)
+    diffs = {
+        k: (prev.get(k), params.get(k))
+        for k in JOB_PARAM_KEYS
+        if prev.get(k) != params.get(k)
+    }
+    if diffs:
+        raise ValueError(
+            f"resume parameter mismatch for {out_dir}: {diffs}; "
+            "use a fresh out_dir or resume=False to restart"
+        )
 
 
 def done_units(out_dir: str) -> set[int]:
