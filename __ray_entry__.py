@@ -257,7 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_exact_pairs": lambda sf: dedup.minhash_dup_pairs(sf, threshold=0.999),
         "dedup_clusters": dedup.dedup_clusters,
         "sample_10pct": relational.sample_10pct,
-        "minhash_near_pairs": lambda sf: dedup.minhash_dup_pairs(sf, threshold=0.5),  # rows-only
+        "minhash_near_pairs": lambda sf: dedup.minhash_dup_pairs(sf, threshold=0.5),
         "simhash_pairs": dedup.simhash_fingerprints,        # rows-only
         # similarity / embeddings
         "embedding_dup_pairs": similarity.embedding_dup_pairs,
@@ -476,6 +476,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS a, b.doc_id AS b
             FROM corpus a JOIN corpus b
               ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        # full exact-Jaccard oracle: 3-token-shingle sets rebuilt in SQL,
+        # pair intersection via a shingle equi-join, threshold 0.5 as
+        # integer arithmetic (2c >= |A|+|B|-c). Valid because the corpus
+        # pair-jaccard distribution is bimodal (nothing in [0.25, 0.75)
+        # at any sf), so LSH recall at these jaccard levels is
+        # deterministic-in-practice with the fixed seed.
+        "minhash_near_pairs": _DUP_CORPUS
+        + """
+            , tok AS (
+              SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts
+              FROM corpus
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                          ELSE list_transform(
+                                 generate_series(1, len(ts) - 2),
+                                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                     END AS shl
+              FROM tok
+            ),
+            sets AS (
+              SELECT DISTINCT doc_id, s
+              FROM (SELECT doc_id, unnest(shl) AS s FROM sh)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+              FROM sets x JOIN sets y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.a
+            JOIN sizes sb ON sb.doc_id = inter.b
+            WHERE 2 * c >= (sa.n + sb.n - c)
         """,
         "dedup_clusters": _DUP_CORPUS
         + """

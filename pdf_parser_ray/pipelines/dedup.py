@@ -7,10 +7,11 @@ Scale shapes:
   only shuffle, over (key, id) pairs.
 - MinHash-LSH: per-batch shingle->signature->band keys (actor pool,
   hasher built once), explode to (band_key, doc_id) rows, groupby
-  band_key -> candidate pairs, exact-Jaccard verify per pair, then
-  min-label propagation for clusters. Nothing ever materializes the
-  full corpus on one node; candidate pairs are the only driver-side
-  small set.
+  band_key -> candidate pairs, distributed hash joins to co-shuffle
+  each pair with its two texts, exact-Jaccard verify per co-located
+  pair row, then distributed min-label propagation for clusters.
+  Nothing — corpus, candidates, or pair texts — ever materializes on
+  the driver.
 - near-dup corpora for verification are synthesized deterministically
   (``with_mutated_copies``): every 10th doc gets a copy with id
   ``+ DUP_OFFSET`` and ~1/40 words rewritten, giving shingle Jaccard
@@ -31,7 +32,6 @@ import pyarrow as pa
 from ..functions.hashing import (
     MinHasher,
     TokenHasher,
-    fnv1a64,
     hamming64,
     jaccard,
     simhash64,
@@ -92,43 +92,55 @@ def dup_corpus(sf_dir: str):
 
 def exact_dedup_text(sf_dir: str):
     """Exact dedup by full text content over the dup corpus: keep the
-    min doc_id per distinct text. Hash-partitioned groupby on a content
-    hash (not the text itself) keeps shuffle payloads small."""
+    min doc_id per distinct text.
+
+    Shape: hash the text to a 128-bit content key (two int64 columns —
+    64 bits would birthday-collide around 4e9 rows, 128 never does at
+    corpus scale), then ONE native ``groupby.aggregate(Min)`` — no
+    per-distinct-key Python (a ``map_groups`` here would spawn ~one
+    pandas frame per distinct text: 10^12 tiny frames at fleet scale).
+    Only (h1, h2, doc_id) rows ride the shuffle, never the text."""
+    import hashlib
+
+    from ray.data.aggregate import Min
+
     ds = dup_corpus(sf_dir)
 
     def add_hash(t: pa.Table) -> pa.Table:
-        h = [fnv1a64(x.encode()) - (1 << 63) for x in t["text"].to_pylist()]
+        h1, h2 = [], []
+        for x in t["text"].to_pylist():
+            d = hashlib.blake2b(x.encode(), digest_size=16).digest()
+            h1.append(int.from_bytes(d[:8], "big") - (1 << 63))
+            h2.append(int.from_bytes(d[8:], "big") - (1 << 63))
         return pa.table(
-            {"doc_id": t["doc_id"], "text_hash": pa.array(h, type=pa.int64())}
+            {
+                "doc_id": t["doc_id"],
+                "h1": pa.array(h1, type=pa.int64()),
+                "h2": pa.array(h2, type=pa.int64()),
+            }
         )
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [int(g["doc_id"].min())]})
-
-    return hashed.groupby("text_hash").map_groups(first, batch_format="pandas")
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
 
 
 def exact_dedup_key(sf_dir: str):
     """Exact dedup by a coarse key (lang, n_chars) over documents —
-    real collisions exist in the corpus; keeps min doc_id per group."""
+    real collisions exist in the corpus; keeps min doc_id per group.
+    Native Min aggregate: no per-group Python."""
     import ray.data
+    from ray.data.aggregate import Min
 
     ds = ray.data.read_parquet(
         _p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
     )
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "lang": [g["lang"].iloc[0]],
-                "n_chars": [int(g["n_chars"].iloc[0])],
-                "doc_id": [int(g["doc_id"].min())],
-            }
-        )
-
-    return ds.groupby(["lang", "n_chars"]).map_groups(first, batch_format="pandas")
+    return ds.groupby(["lang", "n_chars"]).aggregate(
+        Min("doc_id", alias_name="doc_id")
+    )
 
 
 # -- MinHash + LSH --
@@ -187,77 +199,115 @@ def _bucket_candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": a_out, "b": b_out}).drop_duplicates()
 
 
-class JaccardVerify:
-    """Exact shingle-Jaccard verification of candidate pairs.
+class PairJaccard:
+    """Exact shingle-Jaccard verification over co-shuffled pair rows
+    ``(a, b, text_a, text_b)`` — the texts arrived via the distributed
+    hash joins in ``minhash_dup_pairs``, so NOTHING is ever
+    materialized on the driver. Shingle arrays are memoized per doc id
+    in the actor (pairs cluster by doc, so ids repeat)."""
 
-    Texts for pair members are fetched from a broadcast id->text store
-    (ray.put once, ray.get in __init__) — a broadcast semi-join, no
-    second shuffle. At 100 TB the store would be a sharded object-store
-    lookup keyed by the same partitioning as the corpus; candidates are
-    a vanishing fraction of rows, so the pattern holds."""
-
-    def __init__(self, texts_ref, threshold: float):
-        import ray
-
-        self.texts: dict[int, str] = ray.get(texts_ref)
+    def __init__(self, threshold: float):
         self.threshold = threshold
         self.word = re.compile(TOKEN_RE)
         self.th = TokenHasher()
         self._cache: dict[int, np.ndarray] = {}
 
-    def _sh(self, doc_id: int) -> np.ndarray:
+    def _sh(self, doc_id: int, text: str) -> np.ndarray:
         h = self._cache.get(doc_id)
         if h is None:
-            h = np.sort(self.th.shingle_hashes(self.word.findall(self.texts[doc_id])))
+            h = np.sort(self.th.shingle_hashes(self.word.findall(text)))
+            if len(self._cache) > 50_000:  # bound actor memory
+                self._cache.clear()
             self._cache[doc_id] = h
         return h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        a_ids = batch["a"].to_pylist()
-        b_ids = batch["b"].to_pylist()
-        keep_a, keep_b, jac = [], [], []
-        for a, b in zip(a_ids, b_ids):
-            j = jaccard(self._sh(a), self._sh(b))
-            if j >= self.threshold:
+        keep_a, keep_b = [], []
+        for a, b, ta, tb in zip(
+            batch["a"].to_pylist(),
+            batch["b"].to_pylist(),
+            batch["text_a"].to_pylist(),
+            batch["text_b"].to_pylist(),
+        ):
+            if jaccard(self._sh(a, ta), self._sh(b, tb)) >= self.threshold:
                 keep_a.append(a)
                 keep_b.append(b)
-                jac.append(j)
         return pa.table(
             {
                 "a": pa.array(keep_a, type=pa.int64()),
                 "b": pa.array(keep_b, type=pa.int64()),
-                "jaccard": pa.array(jac, type=pa.float64()),
             }
         )
 
 
-def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
-    """Verified near-dup pairs (a < b) over the dup corpus."""
+def _join_partitions(requested: int | None = None) -> int:
+    """Hash-join partition count sized to the cluster: every partition
+    holds an aggregator actor alive for the join's lifetime, and a
+    pipeline chains joins — oversizing DEADLOCKS small clusters (two
+    8-partition joins want 16 concurrent actors on a 4-CPU node). At
+    fleet scale pass ``requested`` ~ a small multiple of node count."""
     import ray
 
-    ds = dup_corpus(sf_dir)
-    banded = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=(1, 4))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    cap = max(2, cpus // 4)
+    return min(requested, cap) if requested else cap
+
+
+def minhash_dup_pairs(
+    sf_dir: str, threshold: float = 0.5, join_partitions: int | None = None
+):
+    """Verified near-dup pairs (a < b) over the dup corpus.
+
+    Fully distributed shape (no driver-side corpus materialization
+    anywhere): banded LSH -> bucketed candidate pair generation ->
+    native dedup of the candidate set -> TWO hash joins against the
+    corpus (candidates are a vanishing fraction of rows, so each join
+    shuffles the corpus once but ships only matching texts onward) ->
+    actor-pool exact-Jaccard verify on co-located (text_a, text_b)
+    rows. ``join_partitions`` scales with cluster size at fleet scale."""
+    from ray.data.aggregate import Count
+
+    corpus = dup_corpus(sf_dir)
+    banded = corpus.map_batches(
+        MinHashStage, batch_format="pyarrow", concurrency=(1, 4)
+    )
     cands = banded.groupby("bucket").map_groups(
         _bucket_candidate_pairs, batch_format="pandas"
     )
-
-    # broadcast id->text for verification (documents are small per id;
-    # at scale this is a sharded store, see JaccardVerify docstring)
-    texts: dict[int, str] = {}
-    for b in dup_corpus(sf_dir).iter_batches(batch_size=4096, batch_format="pyarrow"):
-        texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
-    ref = ray.put(texts)
-
-    verified = cands.map_batches(
-        JaccardVerify,
+    # a pair can surface from bands in different shuffle buckets:
+    # native global dedup BEFORE the joins/verify (cheapest point).
+    # materialize() pins the candidate (a, b) id rows in the
+    # DISTRIBUTED object store (16 B/row, a vanishing fraction of the
+    # corpus — never driver memory) and splits the plan in two:
+    # otherwise the minhash actor pool, two groupby shuffles and two
+    # join aggregator pools all hold resources concurrently in one
+    # streaming plan, which starves small clusters outright.
+    uniq = (
+        cands.groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    np_join = _join_partitions(join_partitions)
+    with_a = uniq.join(
+        dup_corpus(sf_dir),
+        join_type="inner",
+        num_partitions=np_join,
+        on=("a",),
+        right_on=("doc_id",),
+    ).rename_columns({"text": "text_a"})
+    with_ab = with_a.join(
+        dup_corpus(sf_dir),
+        join_type="inner",
+        num_partitions=np_join,
+        on=("b",),
+        right_on=("doc_id",),
+    ).rename_columns({"text": "text_b"})
+    return with_ab.map_batches(
+        PairJaccard,
         batch_format="pyarrow",
         concurrency=(1, 4),
-        fn_constructor_args=(ref, threshold),
-    ).select_columns(["a", "b"])
-    # a pair can surface from bands in different shuffle buckets: final
-    # global dedup over the (tiny) verified set
-    return verified.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+        fn_constructor_args=(threshold,),
     )
 
 
@@ -271,35 +321,110 @@ def url_dedup(sf_dir: str):
 
     pages = read_pages(sf_dir, columns=["url", "warc_ts"])
 
+    from ray.data.aggregate import Max
+
     def with_recrawls(t: pa.Table) -> pa.Table:
         urls = t["url"].to_pylist()
         ts = t["warc_ts"].cast(pa.int64()).to_pylist()
-        add_u, add_t = [], []
-        for u, s in zip(urls, ts):
-            if int(u.rsplit("/", 1)[1]) % 7 == 0:
-                add_u.append(u)
+        ids = [int(u.rsplit("/", 1)[1]) for u in urls]
+        add_i, add_t = [], []
+        for i, s in zip(ids, ts):
+            if i % 7 == 0:
+                add_i.append(i)
                 add_t.append(s + 3_600_000_000)  # re-crawl 1h later
         return pa.table(
             {
-                "url": pa.array(urls + add_u, pa.string()),
+                "doc_id": pa.array(ids + add_i, pa.int64()),
                 "ts_us": pa.array(ts + add_t, pa.int64()),
             }
         )
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        winner = g["ts_us"].max()
-        return pd.DataFrame(
+    # keep-latest is a native Max aggregate (url<->doc_id is 1:1 here;
+    # with a payload column, pair it via an ArgMax-style partial-agg
+    # inside map_batches first) — no per-distinct-url Python
+    return (
+        pages.map_batches(with_recrawls, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Max("ts_us", alias_name="ts_us"))
+    )
+
+
+def label_propagation_clusters(pairs_ds, max_rounds: int = 50):
+    """Distributed connected components by iterative min-label
+    propagation over a pairs Dataset (columns ``a``, ``b``): returns a
+    Dataset of (doc_id, cluster_id) with cluster_id = min doc_id of the
+    component, components of size > 1 only.
+
+    Each round: every node's label becomes the min of its own label
+    and its neighbors' labels — two native groupby/aggregate shuffles
+    over (node, label) pairs, whose volume is O(edges), never the
+    corpus. Rounds converge in O(component diameter) (dup clusters are
+    near-cliques -> 2-3 rounds). The per-round convergence probe is a
+    single aggregated scalar (sum of labels, strictly decreasing until
+    fixpoint) — the only thing that ever reaches the driver."""
+    from ray.data.aggregate import Min, Sum
+
+    edges = pairs_ds.select_columns(["a", "b"]).materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "doc_id": [int(g["url"].iloc[0].rsplit("/", 1)[1])],
-                "ts_us": [int(winner)],
+                "node": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
+                ),
             }
         )
 
-    return (
-        pages.map_batches(with_recrawls, batch_format="pyarrow")
-        .groupby("url")
-        .map_groups(latest, batch_format="pandas")
+    sym = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    # labels(node) = min neighbor-or-self; init = min(node, min nbr)
+    def init_label(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"node": t["node"], "label": pc.min_element_wise(t["node"], t["nbr"])}
+        )
+
+    labels = (
+        sym.map_batches(init_label, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
     )
+
+    def _label_sum(ds) -> int:
+        row = ds.aggregate(Sum("label", alias_name="s"))
+        return int(row["s"])
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_rounds):
+        # propagate: neighbor labels flow along edges, then min-reduce
+        prop = sym.join(
+            labels,
+            join_type="inner",
+            num_partitions=_join_partitions(),
+            on=("nbr",),
+            right_on=("node",),
+        ).select_columns(["node", "label"])
+        labels = (
+            prop.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"], "cluster_id": t["label"]})
+
+    # every node here came from an edge => component size > 1 already
+    return labels.map_batches(finish, batch_format="pyarrow")
 
 
 def dedup_clusters(sf_dir: str, threshold: float = 0.999):
@@ -307,12 +432,19 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.999):
     cluster_id) for every document in a component of size > 1, with
     cluster_id = min doc_id of the component.
 
-    The pair set is a vanishing fraction of the corpus (LSH + verify
-    already ran), so components resolve with driver-side union-find —
-    the guide's documented fallback for provably-small candidate sets;
-    at larger pair volumes swap in iterative min-label propagation
-    (groupby rounds) with the same output contract."""
-    pairs = minhash_dup_pairs(sf_dir, threshold=threshold).take_all()
+    Default path is distributed min-label propagation
+    (``label_propagation_clusters``) — no ``take_all()`` of the pair
+    set, so a dup-heavy corpus (mirror sites) cannot OOM the driver.
+    ``union_find_clusters`` remains as the driver-side fast path for
+    provably-small pair sets."""
+    pairs = minhash_dup_pairs(sf_dir, threshold=threshold)
+    return label_propagation_clusters(pairs)
+
+
+def union_find_clusters(pairs_rows) -> "pd.DataFrame":
+    """Driver-side union-find fallback over an in-memory pair list —
+    the small-input fast path (same output contract as
+    ``label_propagation_clusters``)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -321,14 +453,12 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.999):
             x = parent[x]
         return x
 
-    for r in pairs:
+    for r in pairs_rows:
         a, b = find(r["a"]), find(r["b"])
         if a != b:
             parent[max(a, b)] = min(a, b)
 
     rows = sorted((doc, find(doc)) for doc in parent)
-    import pandas as pd
-
     return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
 
 
@@ -385,9 +515,12 @@ def simhash_fingerprints(sf_dir: str, max_hamming: int = 6):
                         b_out.append(rows[j][0])
         return pd.DataFrame({"a": a_out, "b": b_out}).drop_duplicates()
 
+    from ray.data.aggregate import Count
+
     return (
         banded.groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
         .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
     )
