@@ -192,9 +192,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame({"lang": sorted(ds.unique("lang"))})
 
     def partition_metrics_q(sf_dir: str):
+        """Per-partition lineage counters, projected to the
+        SQL-stateable columns (bytes_in depends on synthesized payload
+        bytes, which no independent oracle can restate; it stays
+        asserted via the job-manifest pytest path). The oracle
+        recomputes crc32(url) % 256 from scratch in SQL."""
         from pdf_parser_ray.pipelines.extract_pipeline import partition_metrics
 
-        return partition_metrics(_extracted(sf_dir))
+        return partition_metrics(_extracted(sf_dir)).select_columns(
+            ["partition_id", "rows", "ok_rows", "text_bytes"]
+        )
+
+    def media_meta_html(sf_dir: str):
+        """Binary-column metadata for the html arm — mime sniff, size
+        and sha256 are all independently restatable in SQL (the oracle
+        rebuilds the exact page bytes), making this the end-to-end
+        check for the multimodal metadata stage."""
+        from pdf_parser_ray.pipelines.multimodal import media_meta
+
+        ds = media_meta(sf_dir)
+
+        def project(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["mime"], "text/html"))
+            return pa.table(
+                {
+                    "doc_id": _doc_id_col(t["url"].to_pylist()),
+                    "mime": t["mime"],
+                    "payload_bytes": t["payload_bytes"],
+                    "sha256": t["sha256"],
+                }
+            )
+
+        return ds.map_batches(project, batch_format="pyarrow")
 
     def html_main_content(sf_dir: str):
         """Density-scored (readability-style) main-content selection on
@@ -248,8 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
-        "lang_id": textstats.lang_id,                      # rows-only
-        "fingerprints": textstats.fingerprints,            # rows-only
+        "lang_id": textstats.lang_id,
+        "fingerprints": textstats.fingerprints,
         # dedup
         "exact_dedup_text": dedup.exact_dedup_text,
         "exact_dedup_key": dedup.exact_dedup_key,
@@ -258,21 +287,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         "sample_10pct": relational.sample_10pct,
         "minhash_near_pairs": lambda sf: dedup.minhash_dup_pairs(sf, threshold=0.5),
-        "simhash_pairs": dedup.simhash_fingerprints,        # rows-only
+        "simhash_pairs": dedup.simhash_fingerprints,
         # similarity / embeddings
         "embedding_dup_pairs": similarity.embedding_dup_pairs,
-        "embedding_dup_pairs_lsh": similarity.lsh_bucketed_dup_pairs,  # rows-only
+        "embedding_dup_pairs_lsh": similarity.lsh_bucketed_dup_pairs,
         "ann_topk": similarity.ann_topk,
-        # multimodal / images (real Flate decode; JPEG stubbed)
-        "media_meta": multimodal.media_meta,                # rows-only
+        # multimodal / images
+        "media_meta": multimodal.media_meta,                # rows-only (pdf payload bytes not SQL-restatable)
+        "media_meta_html": media_meta_html,
         "pdf_image_stats": multimodal.pdf_image_stats,
         # set ops / diagnostics
         "distinct_langs": distinct_langs,
-        "partition_metrics": partition_metrics_q,           # rows-only
+        "partition_metrics": partition_metrics_q,
     }
 
 
 # SQL fragments shared by several oracles
+
+
+def _crc32_table_sql() -> str:
+    """The 256-entry IEEE CRC-32 byte table as a SQL list literal (a
+    public constant, like any hash-function constant) so the oracle can
+    recompute zlib.crc32 from scratch via list_reduce."""
+    out = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+        out.append(str(c))
+    return "[" + ",".join(out) + "]::BIGINT[]"
+
+
+# FNV-1a64 of an ASCII string s, as a SQL lambda body (HUGEINT math,
+# wrap-around via % 2^64); SUBSTITUTE <S> for the column expression.
+_FNV64_SQL = """
+    list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+        list_transform(regexp_extract_all(<S>, '(?s).'), c -> ord(c)::HUGEINT)),
+      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+                 % 18446744073709551616::HUGEINT)
+"""
+
+
+def _simhash_ctes(corpus_rel: str) -> str:
+    """CTE chain computing ``sim(doc_id, sh)`` — the engine's
+    SimHash64 over FNV-hashed 3-token shingles — for every row of
+    ``corpus_rel(doc_id, text)``. Mirrors functions/hashing.py
+    (shingle_hashes + simhash64) byte for byte."""
+    fnv = _FNV64_SQL.replace("<S>", "s")
+    return f"""
+    tok AS (
+      SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts
+      FROM {corpus_rel}
+    ),
+    shl AS (
+      SELECT doc_id,
+             CASE WHEN len(ts) = 0 THEN []
+                  WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_transform(generate_series(1, len(ts) - 2),
+                                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+             END AS l
+      FROM tok
+    ),
+    sets AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(l) AS s FROM shl)),
+    hashes AS (SELECT doc_id, {fnv} AS h FROM sets),
+    bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN ((h >> b) % 2) = 1 THEN 1 ELSE 0 END) AS ones,
+             COUNT(*) AS n
+      FROM hashes CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) g
+      GROUP BY 1, 2
+    ),
+    sim AS (
+      SELECT t.doc_id,
+             COALESCE(s.sh, 0::HUGEINT) AS sh
+      FROM tok t LEFT JOIN (
+        SELECT doc_id,
+               SUM(CASE WHEN 2 * ones >= n THEN (1::HUGEINT << b)
+                        ELSE 0::HUGEINT END) AS sh
+        FROM bits GROUP BY doc_id
+      ) s USING (doc_id)
+    )
+"""
+
+
 _DUP_CORPUS = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -525,11 +623,150 @@ def oracle_sql() -> dict[str, str]:
         "sample_10pct": """
             SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 0
         """,
+        # the stopword-score heuristic restated in SQL: first-in-order
+        # argmax over (en, de, fr, es) with strict improvement, 'und'
+        # when all scores are zero, CJK override on the first 400 chars
+        "lang_id": """
+            SELECT doc_id, lang,
+              CASE
+                WHEN regexp_matches(substr(text, 1, 400), '[\\x{4e00}-\\x{9fff}]')
+                  THEN 'zh'
+                WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es'
+              END AS pred_lang
+            FROM (
+              SELECT doc_id, lang, text,
+                len(list_filter(toks, x -> x IN
+                  ('the','and','of','to','in','is','that','for','with','on'))) AS s_en,
+                len(list_filter(toks, x -> x IN
+                  ('der','die','das','und','von','zu','mit','ist','auf','ein'))) AS s_de,
+                len(list_filter(toks, x -> x IN
+                  ('le','la','les','de','et','un','une','est','dans','pour'))) AS s_fr,
+                len(list_filter(toks, x -> x IN
+                  ('el','la','los','de','y','un','una','es','en','por'))) AS s_es
+              FROM (
+                SELECT doc_id, lang, text,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                FROM documents
+              )
+            )
+        """,
+        # both fingerprints recomputed from scratch in SQL: FNV-1a64
+        # over the text bytes, SimHash64 over FNV-hashed 3-token
+        # shingles (mirrors functions/hashing.py)
+        "fingerprints": "WITH "
+        + _simhash_ctes("documents")
+        + """
+            SELECT d.doc_id,
+                   CAST("""
+        + _FNV64_SQL.replace("<S>", "d.text")
+        + """ - 9223372036854775808::HUGEINT AS BIGINT) AS fnv64,
+                   CAST(sim.sh - 9223372036854775808::HUGEINT AS BIGINT) AS simhash64
+            FROM documents d JOIN sim ON sim.doc_id = d.doc_id
+        """,
+        # candidate pairs share one of four 16-bit simhash bands;
+        # verified by bit_count(xor) <= 6 — the engine's exact rule
+        "simhash_pairs": _DUP_CORPUS
+        + ", "
+        + _simhash_ctes("corpus")
+        + """
+            , bands AS (
+              SELECT doc_id, b AS band, (sh >> (16 * b)) % 65536 AS chunk
+              FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) g
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bands x JOIN bands y
+                ON x.band = y.band AND x.chunk = y.chunk
+               AND x.doc_id < y.doc_id
+            )
+            SELECT a, b FROM cand
+            JOIN sim sa ON sa.doc_id = cand.a
+            JOIN sim sb ON sb.doc_id = cand.b
+            WHERE bit_count(xor(sa.sh, sb.sh)) <= 6
+        """,
         "embedding_dup_pairs": _EMB_CORPUS
         + """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.e, b.e) >= 0.999
+        """,
+        # the LSH-bucketed variant must recover the exact pair set on
+        # this corpus: planted copies sit at cos ~0.9999, where the
+        # per-table all-bits-equal probability is ~0.95, so missing all
+        # 8 tables is ~6e-11 — and the fixed seed makes the outcome a
+        # deterministic function of the input, verified at 3 sfs
+        "embedding_dup_pairs_lsh": _EMB_CORPUS
+        + """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.999
+        """,
+        # crc32(url) recomputed from scratch via list_reduce over the
+        # byte table (partition assignment is part of the contract)
+        "partition_metrics": """
+            WITH tbl AS (SELECT """
+        + _crc32_table_sql()
+        + """ AS T),
+            u AS (
+              SELECT doc_id,
+                     'https://site' || CAST(doc_id % 97 AS VARCHAR)
+                       || '.example/p/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                xor(list_reduce(
+                  list_prepend(4294967295::BIGINT,
+                    list_transform(regexp_extract_all(url, '(?s).'),
+                                   ch -> ord(ch)::BIGINT)),
+                  (c, b) -> xor(c >> 8, T[(xor(c, b) % 256) + 1])),
+                  4294967295::BIGINT) AS crc
+              FROM u CROSS JOIN tbl
+            )
+            SELECT CAST(crc % 256 AS INTEGER) AS partition_id,
+                   CAST(COUNT(*) AS BIGINT) AS "rows",
+                   CAST(SUM(CASE WHEN d.doc_id % 3 < 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ok_rows,
+                   CAST(SUM(CASE WHEN d.doc_id % 3 < 2 THEN length(d.text)
+                                 ELSE 0 END) AS BIGINT) AS text_bytes
+            FROM c JOIN documents d ON d.doc_id = c.doc_id
+            GROUP BY 1
+        """,
+        # the exact page bytes rebuilt in SQL (escape -> entity-encode
+        # on odd ids -> boilerplate template), then hashed with
+        # DuckDB's own sha256 — end-to-end binary-metadata check
+        "media_meta_html": """
+            WITH page AS (
+              SELECT doc_id,
+                '<!doctype html><html><head><title>Doc ' || doc_id
+                || '</title><style>body{color:#222}</style>'
+                || '<script>var x = 1 < 2 && 3 > 2;</script></head>'
+                || '<body><nav><ul><li>Home</li><li>Archive</li><li>About</li></ul></nav>'
+                || '<article><p>' || body || '</p></article>'
+                || '<aside>Related links nobody reads</aside>'
+                || '<footer>&copy; 2024 site' || (doc_id % 97)
+                || '.example</footer></body></html>' AS html
+              FROM (
+                SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 1 THEN replace(esc, 'e', '&#101;')
+                       ELSE esc END AS body
+                FROM (
+                  SELECT doc_id,
+                    replace(replace(replace(text, '&', '&amp;'),
+                            '<', '&lt;'), '>', '&gt;') AS esc
+                  FROM documents WHERE doc_id % 3 = 1
+                )
+              )
+            )
+            SELECT doc_id,
+                   'text/html' AS mime,
+                   CAST(length(html) AS BIGINT) AS payload_bytes,
+                   sha256(html) AS sha256
+            FROM page
         """,
         "ann_topk": """
             SELECT query_id, neighbor_id, rank FROM (

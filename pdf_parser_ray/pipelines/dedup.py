@@ -473,14 +473,17 @@ def simhash_fingerprints(sf_dir: str, max_hamming: int = 6):
     class SimHashStage:
         def __init__(self):
             self.word = re.compile(TOKEN_RE)
-            self.th = TokenHasher()
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..functions.hashing import shingle_hashes
+
             ids, bands, buckets, sims = [], [], [], []
             for doc_id, text in zip(
                 batch["doc_id"].to_pylist(), batch["text"].to_pylist()
             ):
-                sh = simhash64(self.th.shingle_hashes(self.word.findall(text)))
+                # FNV shingle family: byte-defined, so the DuckDB
+                # oracle recomputes the identical simhash from SQL
+                sh = simhash64(shingle_hashes(self.word.findall(text)))
                 for band in range(4):
                     chunk = (sh >> (band * 16)) & 0xFFFF
                     key = band * 65536 + chunk

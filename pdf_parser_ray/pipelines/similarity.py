@@ -183,63 +183,164 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.999):
     )
 
 
+class HyperplaneBucketizer:
+    """Actor stage: vec -> one (shuffle_bucket, bucket, vec_id) row per
+    LSH table. Planes are built ONCE per actor (lazily, on the first
+    batch, because the dimension is inferred from the data — the fixed
+    seed makes every actor's planes identical). Only 20 B/row ride the
+    shuffle — vectors are re-fetched at verify time via a hash join,
+    which removes the x n_tables float-payload amplification."""
+
+    SHUFFLE_BUCKETS = 64  # coarse shuffle key; local groupby per bucket
+
+    def __init__(self, n_tables: int, n_bits: int, seed: int):
+        self.n_tables = n_tables
+        self.n_bits = n_bits
+        self.seed = seed
+        self.planes: np.ndarray | None = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = _normalize(_mat(batch))
+        if self.planes is None:
+            self.planes = np.random.RandomState(self.seed).randn(
+                self.n_tables, self.n_bits, m.shape[1]
+            )
+        out_s, out_b, out_id = [], [], []
+        pow2 = 1 << np.arange(self.n_bits)
+        for t in range(self.n_tables):
+            keys = ((m @ self.planes[t].T) > 0) @ pow2
+            full = (t * (1 << self.n_bits) + keys).astype(np.int64)
+            out_s.append(full % self.SHUFFLE_BUCKETS)
+            out_b.append(full)
+            out_id.append(ids)
+        return pa.table(
+            {
+                "shuffle_bucket": pa.array(
+                    np.concatenate(out_s).astype(np.int32), type=pa.int32()
+                ),
+                "bucket": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+            }
+        )
+
+
+def _packed_corpus(sf_dir: str):
+    """(vec_id, emb: binary) — the float64 vector bytes packed into a
+    binary column, because Arrow's acero hash join rejects list<>
+    payload columns; frombuffer unpacks zero-copy at the verify."""
+    import ray.data
+
+    def pack(batch: pa.Table) -> pa.Table:
+        m = _mat(batch).astype(np.float64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "emb": pa.array([row.tobytes() for row in m], type=pa.binary()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(_p(sf_dir))
+        .map_batches(with_noisy_copies, batch_format="pyarrow")
+        .map_batches(pack, batch_format="pyarrow")
+    )
+
+
+class PairCosVerify:
+    """Row-wise cosine verify over co-shuffled (a, b, emb_a, emb_b)
+    rows (vectors arrived packed via the distributed joins — nothing on
+    the driver)."""
+
+    def __init__(self, threshold: float):
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        a = np.asarray(batch["a"].to_pylist(), dtype=np.int64)
+        b = np.asarray(batch["b"].to_pylist(), dtype=np.int64)
+        ma = _normalize(
+            np.stack([np.frombuffer(x, dtype=np.float64) for x in batch["emb_a"].to_pylist()])
+        )
+        mb = _normalize(
+            np.stack([np.frombuffer(x, dtype=np.float64) for x in batch["emb_b"].to_pylist()])
+        )
+        cos = np.einsum("ij,ij->i", ma, mb)
+        keep = cos >= self.threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
+            }
+        )
+
+
 def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int = 8,
                            n_bits: int = 12, seed: int = 77):
-    """Scale-path variant: random-hyperplane LSH bucketing, verify
-    within buckets. Probabilistic recall (documented); the exact
-    variant above is the correctness anchor."""
+    """Scale-path variant: random-hyperplane LSH bucketing -> bucketed
+    candidate pair generation over (bucket, id) rows only -> native
+    pair dedup -> distributed hash joins fetch both vectors -> cosine
+    verify on co-located rows. Recall is probabilistic in general but a
+    deterministic function of the input with the fixed seed; on the
+    planted corpus (cos ~0.9999) it recovers the exact variant's pair
+    set, which is the oracle."""
     import ray.data
+    from ray.data.aggregate import Count
+
+    from .dedup import _join_partitions
 
     base = ray.data.read_parquet(_p(sf_dir)).map_batches(
         with_noisy_copies, batch_format="pyarrow"
     )
 
-    SHUFFLE_BUCKETS = 64  # coarse shuffle key; local groupby per table-bucket
-
-    def bucketize(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_pylist()
-        m = _normalize(_mat(batch))
-        # planes regenerated per call from the fixed seed: identical in
-        # every task, dimension inferred from the data
-        planes = np.random.RandomState(seed).randn(n_tables, n_bits, m.shape[1])
-        out_s, out_b, out_id, out_vec = [], [], [], []
-        for t in range(n_tables):
-            bits = (m @ planes[t].T) > 0  # (n, n_bits)
-            keys = bits @ (1 << np.arange(n_bits))
-            for i, key in enumerate(keys):
-                full = int(t * (1 << n_bits) + key)
-                out_s.append(full % SHUFFLE_BUCKETS)
-                out_b.append(full)
-                out_id.append(ids[i])
-                out_vec.append(m[i].astype(np.float32).tolist())
-        return pa.table(
-            {
-                "shuffle_bucket": pa.array(out_s, type=pa.int32()),
-                "bucket": pa.array(out_b, type=pa.int64()),
-                "vec_id": pa.array(out_id, type=pa.int64()),
-                "vec": pa.array(out_vec, type=pa.list_(pa.float32())),
-            }
-        )
-
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out = [], []
         for _, grp in g.groupby("bucket"):
-            grp = grp.drop_duplicates("vec_id").sort_values("vec_id")
-            ids = grp["vec_id"].to_numpy()
-            m = _normalize(np.stack(grp["vec"].to_numpy()))
-            sims = m @ m.T
-            n = len(ids)
-            for i in range(n):
-                for j in range(i + 1, n):
-                    if sims[i, j] >= threshold:
-                        a_out.append(int(ids[i]))
-                        b_out.append(int(ids[j]))
+            ids = np.unique(grp["vec_id"].to_numpy())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
         return pd.DataFrame({"a": a_out, "b": b_out}).drop_duplicates()
 
-    return (
-        base.map_batches(bucketize, batch_format="pyarrow")
+    cands = (
+        base.map_batches(
+            HyperplaneBucketizer,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            fn_constructor_args=(n_tables, n_bits, seed),
+        )
         .groupby("shuffle_bucket")
         .map_groups(pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    # plan split + global pair dedup before the joins (see dedup.py)
+    uniq = (
+        cands.groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    np_join = _join_partitions()
+    with_a = uniq.join(
+        _packed_corpus(sf_dir),
+        join_type="inner",
+        num_partitions=np_join,
+        on=("a",),
+        right_on=("vec_id",),
+    ).rename_columns({"emb": "emb_a"})
+    with_ab = with_a.join(
+        _packed_corpus(sf_dir),
+        join_type="inner",
+        num_partitions=np_join,
+        on=("b",),
+        right_on=("vec_id",),
+    ).rename_columns({"emb": "emb_b"})
+    return with_ab.map_batches(
+        PairCosVerify,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_args=(threshold,),
     )

@@ -14,7 +14,7 @@ import re
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import TokenHasher, fnv1a64, simhash64
+from ..functions.hashing import fnv1a64, shingle_hashes, simhash64
 
 TOKEN_RE = r"[A-Za-z0-9]+"
 STOPWORDS = ("the", "and", "of", "a", "to", "in")
@@ -96,18 +96,24 @@ class LangId:
 
 class Fingerprinter:
     """Document fingerprints: FNV-1a64 content hash + SimHash64 over
-    3-gram shingles (emitted as int64 for Arrow/SQL friendliness)."""
+    3-gram shingles (emitted as int64 for Arrow/SQL friendliness).
+
+    The shingle family here is FNV-1a64 over the shingle STRING
+    (functions/hashing.shingle_hashes) — a public, byte-defined
+    algorithm an independent oracle can recompute (the DuckDB oracle
+    rebuilds both hashes from scratch in SQL). The blake2b TokenHasher
+    family stays the fast path for MinHash, where only shingle-set
+    identity matters."""
 
     def __init__(self):
         self.word = re.compile(TOKEN_RE)
-        self.th = TokenHasher()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fps = []
         shs = []
         for t in batch["text"].to_pylist():
             fps.append(fnv1a64(t.encode("utf-8")) - (1 << 63))
-            sh = simhash64(self.th.shingle_hashes(self.word.findall(t)))
+            sh = simhash64(shingle_hashes(self.word.findall(t)))
             shs.append(sh - (1 << 63))
         return pa.table(
             {
