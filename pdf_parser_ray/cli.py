@@ -58,7 +58,8 @@ def main(argv=None):
     p_man.add_argument("--out", required=True)
 
     # the reference CLI's shape (src/main.rs:10-48): one file in, page
-    # images out — PPM instead of JPEG (no JPEG codec in this env)
+    # images out as {page}-{image}.jpg (src/main.rs:36-42 parity, via
+    # the engine's own baseline JPEG encoder)
     p_img = sub.add_parser(
         "extract-images", help="reference-CLI equivalent: page images from one PDF"
     )
@@ -81,14 +82,15 @@ def main(argv=None):
         pages = [p for p in pages if 1 <= p <= len(doc.pages)]
         os.makedirs(args.out, exist_ok=True)
         written = []
+        from .pdfcore.jpeg import encode_jpeg
+
         for page_no, images in zip(pages, doc.extract_images(pages)):
             for idx, img in enumerate(images):
-                if img["rgb"] is None:
-                    continue  # DCT stub: params known, pixels undecodable here
-                path = os.path.join(args.out, f"{page_no}-{idx}.ppm")
+                path = os.path.join(args.out, f"{page_no}-{idx}.jpg")
                 with open(path, "wb") as f:
-                    f.write(b"P6\n%d %d\n255\n" % (img["width"], img["height"]))
-                    f.write(img["rgb"])
+                    f.write(
+                        encode_jpeg(img["rgb"], img["width"], img["height"], 3)
+                    )
                 written.append(path)
         print(json.dumps({"pages": pages, "images_written": written}))
         return 0

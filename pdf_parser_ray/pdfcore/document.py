@@ -417,9 +417,10 @@ class PdfDocument:
     def extract_page_images(self, page: Page) -> list[dict]:
         """SMask anti-join then per-XObject decode (src/page.rs:51-74).
 
-        Returns dicts ``{width, height, colorspace, filter, rgb}`` where
-        ``rgb`` is dense row-major RGB bytes for FlateDecode images and
-        ``None`` for DCTDecode (JPEG decode stubbed; params still real).
+        Returns dicts ``{width, height, colorspace, filter, rgb}`` with
+        ``rgb`` dense row-major RGB bytes — exact for FlateDecode,
+        decoded via the engine's baseline JPEG codec for DCTDecode
+        (pdfcore/jpeg.py; lossy by nature of the format).
         """
         smasks: list = []
         for xobj_ref in page.external_objects:
@@ -437,9 +438,11 @@ class PdfDocument:
             raw = self.get_stream_raw(stream)
             if param.filter == "FlateDecode":
                 decoded = flate_decode(raw)
-                rgb = self._assemble_rgb(param, decoded)
-            else:
-                rgb = None  # DCT stub
+            else:  # DCTDecode via the engine's baseline JPEG decoder
+                from .filters import dct_decode
+
+                decoded = dct_decode(raw)
+            rgb = self._assemble_rgb(param, decoded)
             images.append(
                 {
                     "width": param.width,

@@ -216,18 +216,18 @@ def png_predict_up(data: bytes, columns: int) -> bytes:
     return bytes(out)
 
 
-def dct_decode(data: bytes):
-    """DCTDecode (JPEG) — STUB.
+def dct_decode(data: bytes) -> bytes:
+    """DCTDecode (JPEG): returns dense row-major samples (RGB triplets
+    or gray bytes). The reference decodes JPEG via the
+    ``jpeg_decoder`` crate (src/image.rs:140-143); this container has
+    no codec, so the engine carries its own pure-Python baseline
+    implementation (pdfcore/jpeg.py)."""
+    from .jpeg import JpegError, decode_jpeg
 
-    The reference decodes JPEG via the ``jpeg_decoder`` crate
-    (src/image.rs:140-143). This container has no JPEG codec (no
-    image/audio libs), so per the build contract the decode step is
-    stubbed while the surrounding plumbing (param extraction, schema,
-    routing) stays real and tested.
-    """
-    raise NotImplementedError(
-        "DCTDecode is stubbed: no JPEG codec available in this environment"
-    )
+    try:
+        return decode_jpeg(data)[3]
+    except JpegError as e:
+        raise FilterError(f"DCTDecode failed: {e}") from e
 
 
 _FILTERS = {

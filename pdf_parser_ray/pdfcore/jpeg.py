@@ -1,0 +1,522 @@
+"""Pure-Python baseline JPEG (ITU-T T.81 / ISO 10918-1) codec.
+
+Closes the reference's DCTDecode arm (``/root/reference``
+src/image.rs:140-143 decodes image XObjects via a JPEG crate; this
+container has no codec, so the engine carries its own):
+
+- ``decode_jpeg``: baseline sequential DCT (SOF0), 8-bit, grayscale or
+  YCbCr (4:4:4 / 4:2:2 / 4:2:0 with nearest-neighbor chroma
+  upsampling), restart markers, 8/16-bit DQT precision. Progressive
+  (SOF2) and arithmetic coding raise ``JpegError``.
+- ``encode_jpeg``: baseline encoder (4:4:4, spec Annex K standard
+  Huffman tables, caller-chosen flat quantization — the default
+  all-ones tables make the roundtrip near-lossless, which the tests
+  pin), used by the CLI's ``{page}-{image}.jpg`` sink (reference
+  src/main.rs:36-42 parity) and to build DCT fixtures.
+
+Everything here derives from the public JPEG specification; the IDCT
+is the textbook separable orthonormal transform, vectorized with
+numpy.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class JpegError(Exception):
+    pass
+
+
+# -- shared tables -----------------------------------------------------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8x8 DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+_A = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(0.5) if _u == 0 else 1.0
+    for _x in range(8):
+        _A[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+# Annex K.3 standard Huffman tables: (bits[1..16], huffval)
+_STD_DC_LUM = (
+    [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHR = (
+    [0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUM = (
+    [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHR = (
+    [0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _build_decode_table(bits: list[int], huffval: list[int]) -> dict:
+    """(code_length, code) -> symbol, per T.81 Annex C code assignment."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            table[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: list[int], huffval: list[int]) -> dict:
+    """symbol -> (code, length)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            table[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the received bits to a signed value."""
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+# -- decoder -----------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with FF00 byte
+    unstuffing; stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                # zero-pad; a well-formed scan never decodes past its
+                # last full byte (the encoder 1-fills the final byte)
+                self.acc <<= 8
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:  # stuffed FF data byte
+                    self.pos += 2
+                    self.acc = (self.acc << 8) | 0xFF
+                else:  # RST / EOI / next segment: stop consuming, pad
+                    self.acc <<= 8
+            else:
+                self.pos += 1
+                self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                raise JpegError("entropy data exhausted")
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegError("invalid Huffman code")
+
+    def sync_to_restart(self):
+        """Skip to just past the next RSTn marker; reset bit state."""
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d):
+            if d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+                self.pos = p + 2
+                self.acc = 0
+                self.nbits = 0
+                return
+            p += 1
+        raise JpegError("restart marker not found")
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    """8x8 inverse DCT: f = A^T F A (A orthonormal DCT-II basis)."""
+    return _A.T @ coef @ _A
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG. Returns (width, height, n_components,
+    pixels) — pixels are row-major RGB (3 comp) or gray (1 comp)."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int32)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int32)
+                    i += 128
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                bits = [0] + list(seg[i : i + 16])
+                i += 16
+                n = sum(bits)
+                huffval = list(seg[i : i + n])
+                i += n
+                huff[(tc, th)] = _build_decode_table(bits, huffval)
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision = seg[0]
+            if precision != 8:
+                raise JpegError(f"unsupported precision {precision}")
+            h = struct.unpack(">H", seg[1:3])[0]
+            w = struct.unpack(">H", seg[3:5])[0]
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": seg[8 + 3 * c]}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError(f"unsupported SOF marker 0xFF{marker:02X} (not baseline)")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = seg[0]
+            scan_tables = {}
+            for c in range(ns):
+                cs = seg[1 + 2 * c]
+                td, ta = seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF
+                scan_tables[cs] = (td, ta)
+            return _decode_scan(
+                data, pos + seglen, frame, qt, huff, scan_tables, restart_interval
+            )
+        pos += seglen
+    raise JpegError("no SOS marker found")
+
+
+def _decode_scan(data, pos, frame, qt, huff, scan_tables, restart_interval):
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    ncomp = len(comps)
+    if ncomp not in (1, 3):
+        raise JpegError(f"unsupported component count {ncomp}")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    planes = []
+    for c in comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+
+    reader = _BitReader(data, pos)
+    pred = [0] * ncomp
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.sync_to_restart()
+                pred = [0] * ncomp
+            for ci, c in enumerate(comps):
+                td, ta = scan_tables[c["id"]]
+                dc_tbl = huff.get((0, td))
+                ac_tbl = huff.get((1, ta))
+                q = qt.get(c["tq"])
+                if dc_tbl is None or ac_tbl is None or q is None:
+                    raise JpegError("missing Huffman/quant table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = reader.decode_symbol(dc_tbl)
+                        diff = _extend(reader.read_bits(size), size)
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(ac_tbl)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise JpegError("AC index out of range")
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = zz * q
+                        block = _idct2(coef.reshape(8, 8)) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+
+    # upsample to full resolution (nearest-neighbor replication)
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+
+    if ncomp == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, out.tobytes()
+
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return w, h, 3, out.tobytes()
+
+
+# -- encoder -----------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _fdct2(block: np.ndarray) -> np.ndarray:
+    """8x8 forward DCT: F = A f A^T."""
+    return _A @ block @ _A.T
+
+
+def _encode_block(
+    bw: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int, dc_tbl, ac_tbl
+) -> int:
+    coef = _fdct2(block - 128.0)
+    zz = np.round(coef.reshape(64)[ZIGZAG] / q).astype(np.int64)
+    # DC
+    diff = int(zz[0]) - pred
+    size = int(diff != 0 and int(np.floor(np.log2(abs(diff)))) + 1)
+    code, length = dc_tbl[size]
+    bw.write(code, length)
+    if size:
+        v = diff if diff >= 0 else diff + (1 << size) - 1
+        bw.write(v, size)
+    # AC
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_tbl[0xF0]
+            bw.write(c, ln)
+            run -= 16
+        s = int(np.floor(np.log2(abs(v)))) + 1
+        c, ln = ac_tbl[(run << 4) | s]
+        bw.write(c, ln)
+        vv = v if v >= 0 else v + (1 << s) - 1
+        bw.write(vv, s)
+        run = 0
+    if run:
+        c, ln = ac_tbl[0x00]
+        bw.write(c, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    pixels: bytes, width: int, height: int, ncomp: int, quant: int = 1
+) -> bytes:
+    """Baseline 4:4:4 encoder; ``quant`` is a flat quantization value
+    (1 = near-lossless; larger = lossier). ``pixels`` row-major RGB
+    (ncomp=3) or gray (ncomp=1)."""
+    if ncomp not in (1, 3):
+        raise JpegError("encode_jpeg supports 1 or 3 components")
+    if len(pixels) != width * height * ncomp:
+        raise JpegError("pixel buffer size mismatch")
+    if not 1 <= quant <= 255:
+        raise JpegError("quant must be 1..255")
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, ncomp).astype(np.float64)
+    if ncomp == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        chans = [y, cb, cr]
+    else:
+        chans = [arr[..., 0]]
+
+    q = np.full(64, quant, dtype=np.int64)
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 1, 1
+    ) + b"\x00\x00"
+    # DQT (one table, id 0, used by all components)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(x) for x in q)
+    # SOF0
+    out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * ncomp) + b"\x08" + struct.pack(
+        ">HH", height, width
+    ) + bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        out += bytes([cid, 0x11, 0])  # 1x1 sampling, quant table 0
+    # DHT
+    def _dht(tc, th, bits, huffval):
+        payload = bytes([(tc << 4) | th]) + bytes(bits[1:]) + bytes(huffval)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    out += _dht(0, 0, *_STD_DC_LUM)
+    out += _dht(1, 0, *_STD_AC_LUM)
+    if ncomp == 3:
+        out += _dht(0, 1, *_STD_DC_CHR)
+        out += _dht(1, 1, *_STD_AC_CHR)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * ncomp) + bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        tbl = 0 if cid == 1 else 1
+        out += bytes([cid, (tbl << 4) | tbl])
+    out += b"\x00\x3f\x00"
+
+    dc_lum = _build_encode_table(*_STD_DC_LUM)
+    ac_lum = _build_encode_table(*_STD_AC_LUM)
+    dc_chr = _build_encode_table(*_STD_DC_CHR)
+    ac_chr = _build_encode_table(*_STD_AC_CHR)
+
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    by_blocks = (height + 7) // 8
+    bx_blocks = (width + 7) // 8
+    padded = []
+    for ch in chans:
+        p = np.empty((by_blocks * 8, bx_blocks * 8))
+        p[:height, :width] = ch
+        p[height:, :width] = ch[-1:, :]  # edge replicate
+        p[:, width:] = p[:, width - 1 : width]
+        padded.append(p)
+    for byy in range(by_blocks):
+        for bxx in range(bx_blocks):
+            for ci in range(ncomp):
+                dt = dc_lum if ci == 0 else dc_chr
+                at = ac_lum if ci == 0 else ac_chr
+                block = padded[ci][byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8]
+                pred[ci] = _encode_block(bw, block, q, pred[ci], dt, at)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

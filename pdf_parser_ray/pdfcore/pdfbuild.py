@@ -296,12 +296,24 @@ def build_text_pdf(
             )
             smask_clause = b" /SMask %d 0 R" % smask_num
         img_num = w.alloc()
+        if image.get("filter") == "dct":
+            # DCTDecode arm: pixels carried as a baseline JPEG built by
+            # the engine's own encoder (near-lossless flat quant)
+            from .jpeg import encode_jpeg
+
+            img_filter = b"/DCTDecode"
+            img_body = encode_jpeg(
+                image["pixels"], image["width"], image["height"], 3
+            )
+        else:
+            img_filter = b"/FlateDecode"
+            img_body = zlib.compress(image["pixels"])
         w.add_stream(
             img_num,
             b"/Type /XObject /Subtype /Image /Width %d /Height %d "
-            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode%s"
-            % (image["width"], image["height"], smask_clause),
-            zlib.compress(image["pixels"]),
+            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter %s%s"
+            % (image["width"], image["height"], img_filter, smask_clause),
+            img_body,
         )
         entries = b"/Im0 %d 0 R" % img_num
         if image.get("smask_pixels") is not None:

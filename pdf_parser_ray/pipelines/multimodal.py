@@ -129,11 +129,21 @@ class PdfImageStats:
             expected = image_pixels(
                 doc_id, first["width"] * first["height"] * 3
             )
+            if first["filter"] == "DCTDecode":
+                # JPEG is lossy by construction; the engine encoder's
+                # flat-quant roundtrip is bounded at +-2 per sample
+                # (pinned in tests/test_jpeg.py)
+                got = first["rgb"]
+                ok = got is not None and len(got) == len(expected) and all(
+                    abs(a - b) <= 2 for a, b in zip(got, expected)
+                )
+            else:
+                ok = first["rgb"] == expected
             ids.append(doc_id)
             n_imgs.append(len(images))
             ws.append(first["width"])
             hs.append(first["height"])
-            oks.append(first["rgb"] == expected)
+            oks.append(ok)
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),

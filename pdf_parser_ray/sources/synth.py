@@ -35,7 +35,7 @@ import pyarrow as pa
 from ..pdfcore.pdfbuild import build_text_pdf
 
 # bump when generation rules change (invalidates /tmp caches)
-GENVER = "v7"
+GENVER = "v8"
 
 _BASE_TS_US = 1704067200 * 1_000_000  # 2024-01-01T00:00:00Z in epoch micros
 
@@ -61,8 +61,11 @@ def make_pdf_payload(doc_id: int, text: str) -> bytes:
     k = doc_id // 3
     image = None
     if k % 5 == 0:
-        # every 5th pdf row carries a DeviceRGB Flate image XObject;
-        # every 10th additionally an /SMask pair (V12-V17 + J2 coverage)
+        # every 5th pdf row carries a DeviceRGB image XObject; every
+        # 10th additionally an /SMask pair (V12-V17 + J2 coverage).
+        # The k%10==5 half uses DCTDecode (engine-encoded baseline
+        # JPEG, near-lossless) — object counts are identical, so the
+        # extract_structure oracle formula is unchanged
         w_, h_ = image_dims(doc_id)
         image = {
             "width": w_,
@@ -71,6 +74,8 @@ def make_pdf_payload(doc_id: int, text: str) -> bytes:
         }
         if k % 10 == 0:
             image["smask_pixels"] = image_pixels(doc_id + 1, w_ * h_)
+        else:
+            image["filter"] = "dct"
     show_variant = _SHOW_VARIANTS[k % 4]
     if show_variant == "tj_split" and (k // 8) % 2 == 1:
         # alternate the tj_split slot with the /Encoding /Differences

@@ -219,6 +219,17 @@ def test_cli_extract_images(tmp_path):
     )
     result = json.loads(out.stdout.strip().splitlines()[-1])
     assert len(result["images_written"]) == 1
-    data = (tmp_path / "imgs" / "1-0.ppm").read_bytes()
-    assert data.startswith(b"P6\n4 4\n255\n")
-    assert data.endswith(pixels)
+    # {page}-{image}.jpg sink (reference src/main.rs:36-42 parity)
+    data = (tmp_path / "imgs" / "1-0.jpg").read_bytes()
+    assert data[:3] == b"\xff\xd8\xff"
+    import numpy as np
+
+    from pdf_parser_ray.pdfcore.jpeg import decode_jpeg
+
+    w, h, n, decoded = decode_jpeg(data)
+    assert (w, h, n) == (4, 4, 3)
+    err = np.abs(
+        np.frombuffer(decoded, np.uint8).astype(int)
+        - np.frombuffer(pixels, np.uint8).astype(int)
+    ).max()
+    assert err <= 2

@@ -1,0 +1,282 @@
+"""Baseline JPEG codec tests (pdfcore/jpeg.py): spec-derived decode
+vectors (independent textbook IDCT in the test), near-lossless
+roundtrips, 4:2:0 and restart-marker decode paths, and the PDF
+DCTDecode integration (reference src/image.rs:140-143 parity)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from pdf_parser_ray.pdfcore.jpeg import (
+    _STD_AC_LUM,
+    _STD_DC_LUM,
+    ZIGZAG,
+    JpegError,
+    _BitWriter,
+    _build_encode_table,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _textbook_idct(coef8x8: np.ndarray) -> np.ndarray:
+    """Direct double-sum IDCT from T.81 A.3.3 — deliberately NOT the
+    decoder's matrix formulation, so the test is an independent
+    cross-check of the transform."""
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef8x8[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[x, y] = s / 4
+    return out
+
+
+def _handmade_gray_jpeg(zz_coeffs: list[int], quant: int = 1) -> bytes:
+    """Assemble a minimal 8x8 grayscale baseline JPEG whose single
+    block holds the given zig-zag quantized coefficients."""
+    out = bytearray(b"\xff\xd8")
+    q = [quant] * 64
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(q)
+    out += b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 8, 8)
+    out += bytes([1, 1, 0x11, 0])
+    for tc, (bits, vals) in ((0, _STD_DC_LUM), (1, _STD_AC_LUM)):
+        payload = bytes([tc << 4]) + bytes(bits[1:]) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+
+    dc_tbl = _build_encode_table(*_STD_DC_LUM)
+    ac_tbl = _build_encode_table(*_STD_AC_LUM)
+    bw = _BitWriter()
+    # DC
+    dc = zz_coeffs[0]
+    size = 0 if dc == 0 else int(np.floor(np.log2(abs(dc)))) + 1
+    code, ln = dc_tbl[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(dc if dc >= 0 else dc + (1 << size) - 1, size)
+    # AC
+    run = 0
+    for k in range(1, 64):
+        v = zz_coeffs[k] if k < len(zz_coeffs) else 0
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, l2 = ac_tbl[0xF0]
+            bw.write(c, l2)
+            run -= 16
+        s = int(np.floor(np.log2(abs(v)))) + 1
+        c, l2 = ac_tbl[(run << 4) | s]
+        bw.write(c, l2)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        c, l2 = ac_tbl[0x00]
+        bw.write(c, l2)
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize(
+    "zz",
+    [
+        [0],                      # all-zero block -> flat 128
+        [32],                     # DC only -> flat 128 + 32/8*... (IDCT)
+        [5, -3, 7, 0, 0, 11],     # a few low-frequency ACs
+        [-128, 64, -64, 32, -32, 16, -16, 8, 127],
+    ],
+)
+def test_decode_matches_textbook_idct(zz):
+    data = _handmade_gray_jpeg(zz, quant=2)
+    w, h, n, px = decode_jpeg(data)
+    assert (w, h, n) == (8, 8, 1)
+    coef = np.zeros(64)
+    zzfull = np.zeros(64, dtype=np.int64)
+    zzfull[: len(zz)] = zz
+    coef[ZIGZAG] = zzfull * 2  # dequantized
+    expected = np.clip(np.round(_textbook_idct(coef.reshape(8, 8)) + 128), 0, 255)
+    got = np.frombuffer(px, np.uint8).reshape(8, 8).astype(float)
+    assert np.array_equal(got, expected)
+
+
+def test_roundtrip_gray_exact():
+    w, h = 24, 17
+    g = np.clip(np.add.outer(np.arange(h) * 3, np.arange(w) * 2), 0, 255).astype(
+        np.uint8
+    )
+    ww, hh, n, out = decode_jpeg(encode_jpeg(g.tobytes(), w, h, 1))
+    assert (ww, hh, n) == (w, h, 1)
+    assert np.array_equal(np.frombuffer(out, np.uint8).reshape(h, w), g)
+
+
+def test_roundtrip_rgb_within_2():
+    rng = np.random.RandomState(7)
+    w, h = 19, 11
+    px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    ww, hh, n, out = decode_jpeg(encode_jpeg(px.tobytes(), w, h, 3))
+    assert (ww, hh, n) == (w, h, 3)
+    arr = np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(arr - px.astype(int)).max() <= 2
+
+
+def test_decode_420_flat_color():
+    """Hand-built 16x16 4:2:0 YCbCr stream (4 Y blocks + Cb + Cr per
+    MCU) must decode to the flat source color within rounding."""
+    r0, g0, b0 = 40, 180, 90
+    y = 0.299 * r0 + 0.587 * g0 + 0.114 * b0
+    cb = -0.168736 * r0 - 0.331264 * g0 + 0.5 * b0 + 128.0
+    cr = 0.5 * r0 - 0.418688 * g0 - 0.081312 * b0 + 128.0
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 16, 16)
+    out += bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    for tc, (bits, vals) in ((0, _STD_DC_LUM), (1, _STD_AC_LUM)):
+        payload = bytes([tc << 4]) + bytes(bits[1:]) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    out += b"\xff\xda" + struct.pack(">H", 12) + bytes(
+        [3, 1, 0x00, 2, 0x00, 3, 0x00]
+    ) + b"\x00\x3f\x00"
+
+    dc_tbl = _build_encode_table(*_STD_DC_LUM)
+    ac_tbl = _build_encode_table(*_STD_AC_LUM)
+    bw = _BitWriter()
+    # DC for a flat block at value v: quantized coef = round((v-128)*8)
+    pred = {"y": 0, "cb": 0, "cr": 0}
+
+    def put_block(key, val):
+        dc = int(np.round((val - 128.0) * 8))
+        diff = dc - pred[key]
+        pred[key] = dc
+        size = 0 if diff == 0 else int(np.floor(np.log2(abs(diff)))) + 1
+        c, ln = dc_tbl[size]
+        bw.write(c, ln)
+        if size:
+            bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        c, ln = ac_tbl[0x00]  # EOB
+        bw.write(c, ln)
+
+    for _ in range(4):  # Y blocks of the single MCU
+        put_block("y", y)
+    put_block("cb", cb)
+    put_block("cr", cr)
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+
+    w, h, n, px = decode_jpeg(bytes(out))
+    assert (w, h, n) == (16, 16, 3)
+    arr = np.frombuffer(px, np.uint8).reshape(16, 16, 3).astype(int)
+    assert np.abs(arr - np.array([r0, g0, b0])).max() <= 2
+
+
+def test_decode_restart_markers():
+    """Two-MCU gray stream with DRI=1 and an RST0 between MCUs."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 1)  # DRI 1
+    out += b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 8, 16)
+    out += bytes([1, 1, 0x11, 0])
+    for tc, (bits, vals) in ((0, _STD_DC_LUM), (1, _STD_AC_LUM)):
+        payload = bytes([tc << 4]) + bytes(bits[1:]) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+
+    dc_tbl = _build_encode_table(*_STD_DC_LUM)
+    ac_tbl = _build_encode_table(*_STD_AC_LUM)
+
+    def flat_block_bits(val):
+        bw = _BitWriter()
+        dc = int(np.round((val - 128.0) * 8))  # DC pred resets per restart
+        size = 0 if dc == 0 else int(np.floor(np.log2(abs(dc)))) + 1
+        c, ln = dc_tbl[size]
+        bw.write(c, ln)
+        if size:
+            bw.write(dc if dc >= 0 else dc + (1 << size) - 1, size)
+        c, ln = ac_tbl[0x00]
+        bw.write(c, ln)
+        bw.flush()
+        return bytes(bw.out)
+
+    out += flat_block_bits(100) + b"\xff\xd0" + flat_block_bits(200) + b"\xff\xd9"
+    w, h, n, px = decode_jpeg(bytes(out))
+    assert (w, h, n) == (16, 8, 1)
+    arr = np.frombuffer(px, np.uint8).reshape(8, 16)
+    assert np.abs(arr[:, :8].astype(int) - 100).max() <= 1
+    assert np.abs(arr[:, 8:].astype(int) - 200).max() <= 1
+
+
+def test_progressive_rejected():
+    bad = bytearray(encode_jpeg(bytes(64), 8, 8, 1))
+    i = bad.find(b"\xff\xc0")
+    bad[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(JpegError, match="not baseline"):
+        decode_jpeg(bytes(bad))
+
+
+def test_truncated_rejected():
+    with pytest.raises(JpegError):
+        decode_jpeg(b"\xff\xd8\xff\xdb")
+    with pytest.raises(JpegError):
+        decode_jpeg(b"notajpeg")
+
+
+def test_pdf_dct_image_extraction():
+    """build_text_pdf(dct image) -> extract_images decodes within +-2
+    of the source pixels (the pdf_image_stats tolerance)."""
+    from pdf_parser_ray.pdfcore.document import PdfDocument
+    from pdf_parser_ray.pdfcore.pdfbuild import build_text_pdf
+
+    w, h = 6, 5
+    pixels = bytes((11 * i) % 256 for i in range(w * h * 3))
+    pdf = build_text_pdf(
+        b"dct text",
+        image={"width": w, "height": h, "pixels": pixels, "filter": "dct"},
+    )
+    doc = PdfDocument(pdf)
+    images = [i for page in doc.extract_images([1]) for i in page]
+    assert len(images) == 1
+    img = images[0]
+    assert img["filter"] == "DCTDecode"
+    assert (img["width"], img["height"]) == (w, h)
+    got = np.frombuffer(img["rgb"], np.uint8).astype(int)
+    exp = np.frombuffer(pixels, np.uint8).astype(int)
+    assert np.abs(got - exp).max() <= 2
+    # text path is unaffected
+    from pdf_parser_ray.pdfcore.textextract import extract_text
+
+    assert extract_text(doc)[0] == b"dct text"
+
+
+def test_cli_jpg_sink(tmp_path):
+    """extract-images writes {page}-{image}.jpg that our decoder (and
+    the format) round-trips (reference src/main.rs:36-42 parity)."""
+    from pdf_parser_ray.cli import main
+    from pdf_parser_ray.pdfcore.pdfbuild import build_text_pdf
+
+    w, h = 4, 3
+    pixels = bytes((7 * i) % 256 for i in range(w * h * 3))
+    pdf_path = tmp_path / "img.pdf"
+    pdf_path.write_bytes(
+        build_text_pdf(
+            b"x", image={"width": w, "height": h, "pixels": pixels}
+        )
+    )
+    rc = main(["extract-images", str(pdf_path), "--out", str(tmp_path)])
+    assert rc == 0
+    jpg = (tmp_path / "1-0.jpg").read_bytes()
+    assert jpg[:3] == b"\xff\xd8\xff"
+    ww, hh, n, out = decode_jpeg(jpg)
+    assert (ww, hh, n) == (w, h, 3)
+    got = np.frombuffer(out, np.uint8).astype(int)
+    assert np.abs(got - np.frombuffer(pixels, np.uint8).astype(int)).max() <= 2
