@@ -227,8 +227,8 @@ class HyperplaneBucketizer:
 
 def _packed_corpus(sf_dir: str):
     """(vec_id, emb: binary) — the float64 vector bytes packed into a
-    binary column, because Arrow's acero hash join rejects list<>
-    payload columns; frombuffer unpacks zero-copy at the verify."""
+    binary column (Arrow shuffles/joins reject list<> payloads);
+    frombuffer unpacks zero-copy at the verify."""
     import ray.data
 
     def pack(batch: pa.Table) -> pa.Table:
@@ -247,50 +247,19 @@ def _packed_corpus(sf_dir: str):
     )
 
 
-class PairCosVerify:
-    """Row-wise cosine verify over co-shuffled (a, b, emb_a, emb_b)
-    rows (vectors arrived packed via the distributed joins — nothing on
-    the driver)."""
-
-    def __init__(self, threshold: float):
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-            )
-        a = np.asarray(batch["a"].to_pylist(), dtype=np.int64)
-        b = np.asarray(batch["b"].to_pylist(), dtype=np.int64)
-        ma = _normalize(
-            np.stack([np.frombuffer(x, dtype=np.float64) for x in batch["emb_a"].to_pylist()])
-        )
-        mb = _normalize(
-            np.stack([np.frombuffer(x, dtype=np.float64) for x in batch["emb_b"].to_pylist()])
-        )
-        cos = np.einsum("ij,ij->i", ma, mb)
-        keep = cos >= self.threshold
-        return pa.table(
-            {
-                "a": pa.array(a[keep], type=pa.int64()),
-                "b": pa.array(b[keep], type=pa.int64()),
-            }
-        )
-
-
 def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int = 8,
                            n_bits: int = 12, seed: int = 77):
     """Scale-path variant: random-hyperplane LSH bucketing -> bucketed
     candidate pair generation over (bucket, id) rows only -> native
-    pair dedup -> distributed hash joins fetch both vectors -> cosine
-    verify on co-located rows. Recall is probabilistic in general but a
+    pair dedup -> co-shuffled reduce-side semi-join fetches both
+    vectors -> cosine verify on co-located rows. Recall is probabilistic in general but a
     deterministic function of the input with the fixed seed; on the
     planted corpus (cos ~0.9999) it recovers the exact variant's pair
     set, which is the oracle."""
     import ray.data
     from ray.data.aggregate import Count
 
-    from .dedup import _join_partitions
+    from .dedup import _cogroup_pair_payloads
 
     base = ray.data.read_parquet(_p(sf_dir)).map_batches(
         with_noisy_copies, batch_format="pyarrow"
@@ -316,31 +285,40 @@ def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int 
         .groupby("shuffle_bucket")
         .map_groups(pairs, batch_format="pandas")
     )
-    # plan split + global pair dedup before the joins (see dedup.py)
+    # plan split + global pair dedup before the verify (see dedup.py)
     uniq = (
         cands.groupby(["a", "b"])
         .aggregate(Count(alias_name="_n"))
         .select_columns(["a", "b"])
         .materialize()
     )
-    np_join = _join_partitions()
-    with_a = uniq.join(
-        _packed_corpus(sf_dir),
-        join_type="inner",
-        num_partitions=np_join,
-        on=("a",),
-        right_on=("vec_id",),
-    ).rename_columns({"emb": "emb_a"})
-    with_ab = with_a.join(
-        _packed_corpus(sf_dir),
-        join_type="inner",
-        num_partitions=np_join,
-        on=("b",),
-        right_on=("vec_id",),
-    ).rename_columns({"emb": "emb_b"})
-    return with_ab.map_batches(
-        PairCosVerify,
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        fn_constructor_args=(threshold,),
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["vec_id"], "payload": t["emb"]})
+
+    sided = _cogroup_pair_payloads(
+        uniq, _packed_corpus(sf_dir).map_batches(rename, batch_format="pyarrow")
     )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for (a, b), rows in g.groupby(["a", "b"]):
+            if len(rows) != 2:
+                continue
+            va = _normalize(
+                np.frombuffer(rows["payload"].iloc[0], dtype=np.float64)[None, :]
+            )[0]
+            vb = _normalize(
+                np.frombuffer(rows["payload"].iloc[1], dtype=np.float64)[None, :]
+            )[0]
+            if float(va @ vb) >= threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+        return pd.DataFrame(
+            {
+                "a": np.array(out_a, dtype=np.int64),
+                "b": np.array(out_b, dtype=np.int64),
+            }
+        )
+
+    return sided.groupby("pair_bucket").map_groups(verify, batch_format="pandas")
