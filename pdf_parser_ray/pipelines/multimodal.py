@@ -40,12 +40,24 @@ def detect_mime(payload: bytes) -> str:
 
 
 def decode_stub(payload: bytes, mime: str) -> dict:
-    """STUB decoder: deterministic fake pixel/sample statistics.
+    """Decoder step: REAL for image/jpeg (the engine's own baseline
+    codec, pdfcore/jpeg.py); a deterministic STUB for the remaining
+    media types (no GIF/PNG/audio libraries in this container — a real
+    deployment swaps PIL/libvips/ffmpeg into the same actor signature;
+    batching, schema and the error channel are already
+    production-shaped)."""
+    if mime == "image/jpeg":
+        from ..pdfcore.jpeg import JpegError, decode_jpeg
 
-    A real deployment replaces this with PIL/libvips/ffmpeg calls in
-    the same actor signature; everything around it (batching, schema,
-    error channel) is already production-shaped.
-    """
+        try:
+            w, h, n, px = decode_jpeg(payload)
+        except JpegError as e:
+            raise NotImplementedError(f"jpeg decode failed: {e}") from e
+        return {
+            "fake_width": w,
+            "fake_height": h,
+            "fake_mean": sum(px[:256]) / (255.0 * min(len(px), 256)),
+        }
     if not mime.startswith(("image/", "audio/")):
         raise NotImplementedError(f"no decoder for {mime}")
     digest = hashlib.sha256(payload).digest()

@@ -280,3 +280,24 @@ def test_cli_jpg_sink(tmp_path):
     assert (ww, hh, n) == (w, h, 3)
     got = np.frombuffer(out, np.uint8).astype(int)
     assert np.abs(got - np.frombuffer(pixels, np.uint8).astype(int)).max() <= 2
+
+
+def test_media_meta_decodes_real_jpeg():
+    """The multimodal metadata stage uses the real codec for
+    image/jpeg payloads (stub remains only for formats with no
+    in-container codec)."""
+    import pyarrow as pa
+
+    from pdf_parser_ray.pipelines.multimodal import MediaMeta
+
+    jpg = encode_jpeg(bytes(range(48)), 4, 4, 3)
+    t = pa.table(
+        {
+            "url": ["https://x/p/9"],
+            "html": pa.array([jpg], pa.binary()),
+        }
+    )
+    out = MediaMeta()(t)
+    assert out["mime"][0].as_py() == "image/jpeg"
+    assert out["decoded"][0].as_py() is True
+    assert out["width"][0].as_py() == 4 and out["height"][0].as_py() == 4
