@@ -171,6 +171,51 @@ class MinHasher:
             y ^= y >> np.uint64(33)
         return y.min(axis=1)
 
+    def signatures_batch(self, hash_arrays: list[np.ndarray]) -> np.ndarray:
+        """(k, n_docs) uint64 signatures for a whole batch in ONE
+        vectorized pass: all shingle sets concatenate into a single
+        array, the k mixing functions apply once, and per-doc minima
+        come from ``np.minimum.reduceat`` at the doc offsets — no
+        per-document numpy dispatch (the per-doc path costs ~100us of
+        overhead each; this is the dedup fleet's hot stage)."""
+        n = len(hash_arrays)
+        if n == 0:
+            return np.empty((self.k, 0), dtype=np.uint64)
+        lens = np.array([len(h) for h in hash_arrays], dtype=np.int64)
+        out = np.full((self.k, n), _MASK64, dtype=np.uint64)
+        nonempty = lens > 0
+        if not nonempty.any():
+            return out
+        allh = np.concatenate([h for h in hash_arrays if len(h)])
+        with np.errstate(over="ignore"):
+            y = (allh[None, :] ^ self.seeds[:, None]) * self._MIX
+            y ^= y >> np.uint64(33)
+            y *= np.uint64(0xC4CEB9FE1A85EC53)
+            y ^= y >> np.uint64(33)
+        offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+        mins = np.minimum.reduceat(y, offsets, axis=1)
+        out[:, nonempty] = mins
+        return out
+
+    def band_keys_batch(self, sigs: np.ndarray) -> np.ndarray:
+        """(bands, n_docs) int64 bucket keys from batch signatures via
+        a vectorized 64-bit mix over each band's rows + the band id.
+        A different (but equally deterministic) key family than the
+        scalar ``band_keys``: identical band chunks still collide
+        identically, which is all LSH banding requires."""
+        k, n = sigs.shape
+        chunks = sigs.reshape(self.bands, self.rows, n)
+        with np.errstate(over="ignore"):
+            acc = np.full((self.bands, n), 0x9E3779B97F4A7C15, dtype=np.uint64)
+            acc ^= np.arange(self.bands, dtype=np.uint64)[:, None] * np.uint64(
+                0xC2B2AE3D27D4EB4F
+            )
+            for r in range(self.rows):
+                acc = (acc ^ chunks[:, r, :]) * self._MIX
+                acc ^= acc >> np.uint64(29)
+        return acc.view(np.int64)  # bit-reinterpret: int64 for Arrow
+
     def band_keys(self, sig: np.ndarray) -> list[int]:
         """One uint64 bucket key per band (band id mixed in)."""
         import hashlib

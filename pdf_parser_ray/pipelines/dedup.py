@@ -165,23 +165,25 @@ class MinHashStage:
         self.th = TokenHasher()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids_out: list[int] = []
-        keys_out: list[int] = []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            sig = self.hasher.signature(self.th.shingle_hashes(self.word.findall(text)))
-            for key in self.hasher.band_keys(sig):
-                ids_out.append(doc_id)
-                keys_out.append(key - (1 << 63))
-        keys = pa.array(keys_out, type=pa.int64())
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        shingles = [
+            self.th.shingle_hashes(self.word.findall(t))
+            for t in batch["text"].to_pylist()
+        ]
+        sigs = self.hasher.signatures_batch(shingles)  # (k, n) one pass
+        keys = self.hasher.band_keys_batch(sigs)       # (bands, n)
+        flat = keys.reshape(-1)
+        out_ids = np.tile(ids, self.hasher.bands)
         return pa.table(
             {
                 "bucket": pa.array(
-                    [k % N_SHUFFLE_BUCKETS for k in keys_out], type=pa.int32()
+                    (flat.view(np.uint64) % np.uint64(N_SHUFFLE_BUCKETS)).astype(
+                        np.int32
+                    ),
+                    type=pa.int32(),
                 ),
-                "band_key": keys,
-                "doc_id": pa.array(ids_out, type=pa.int64()),
+                "band_key": pa.array(flat, type=pa.int64()),
+                "doc_id": pa.array(out_ids, type=pa.int64()),
             }
         )
 

@@ -263,11 +263,34 @@ def events_minmax(sf_dir: str):
     )
 
 
+USER_BUCKETS = 64
+
+
+def _with_user_bucket(t: pa.Table) -> pa.Table:
+    """Coarsened shuffle key: user_id % USER_BUCKETS. The groupby then
+    co-locates ~n_users/64 users per distributed group and the window
+    runs as ONE vectorized pandas groupby inside each — millions of
+    distinct users never become millions of per-user Python calls
+    (the per-distinct-key anti-pattern). At fleet scale raise
+    USER_BUCKETS with cluster size; skewed single users stay bounded
+    because a user's events always fit one group's worth of memory or
+    the window itself is meaningless."""
+    b = pc.subtract(
+        t["user_id"],
+        pc.multiply(
+            pc.divide(t["user_id"], pa.scalar(USER_BUCKETS, pa.int64())),
+            pa.scalar(USER_BUCKETS, pa.int64()),
+        ),
+    )
+    return t.append_column("bucket", b.combine_chunks().cast(pa.int32()))
+
+
 def events_running(sf_dir: str):
     """Ordered window function: per-user running event number by
-    (ts, event_id). The groupby shuffle co-locates each user's events;
-    the window itself is a sorted cumcount inside map_groups — the
-    engine's general recipe for ROW_NUMBER/LAG/cumulative windows."""
+    (ts, event_id). Bucket-coarsened shuffle (see _with_user_bucket);
+    the window itself is a vectorized sort + groupby-cumcount over the
+    whole bucket — the engine's general recipe for ROW_NUMBER/LAG/
+    cumulative windows."""
     import ray.data
 
     ds = ray.data.read_parquet(
@@ -275,31 +298,51 @@ def events_running(sf_dir: str):
     )
 
     def window(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].astype("int64"),
-                "running_n": np.arange(1, len(g) + 1, dtype=np.int64),
+                "running_n": (g.groupby("user_id").cumcount() + 1).astype("int64"),
             }
         )
 
-    return ds.groupby("user_id").map_groups(window, batch_format="pandas")
+    return (
+        ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(window, batch_format="pandas")
+    )
 
 
 def sessions_per_user(sf_dir: str, gap_sec: int = 1800):
-    """Sessionization: per-user sorted scan inside map_groups (the
-    groupby shuffle co-locates each user's events; ordering within the
-    group is established by the sort inside the UDF)."""
+    """Sessionization: bucket-coarsened shuffle co-locates users; the
+    per-user session count is one vectorized pandas pipeline per
+    bucket (sort -> diff -> boundary sum), never per-user Python."""
     import ray.data
 
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().astype("int64") // 1_000_000
-        n = int((ts.diff() > gap_sec).sum()) + 1
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = g["ts"].astype("int64") // 1_000_000
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        boundary = new_user | (ts.diff() > gap_sec)
+        out = (
+            pd.DataFrame({"user_id": g["user_id"], "b": boundary})
+            .groupby("user_id", as_index=False)["b"]
+            .sum()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "n_sessions": out["b"].astype("int64"),
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pandas")
+    )
 
 
 def events_props_agg(sf_dir: str):

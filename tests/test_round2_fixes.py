@@ -88,3 +88,24 @@ def test_cmap_cache_keys_are_bytes():
     text, _spans = extract_text(doc, cmap_cache=cache)
     assert text == b"cached text"
     assert cache and all(isinstance(k, bytes) for k in cache)
+
+
+def test_minhash_batch_signatures_match_scalar():
+    """signatures_batch must equal the per-doc signature path bit for
+    bit (incl. the empty-set sentinel row)."""
+    import re
+
+    from pdf_parser_ray.functions.hashing import MinHasher, TokenHasher
+    from pdf_parser_ray.pipelines.textstats import TOKEN_RE
+
+    word = re.compile(TOKEN_RE)
+    th = TokenHasher()
+    mh = MinHasher(k=64, bands=16)
+    texts = ["alpha beta gamma delta epsilon zeta", "one two three", "", "x"]
+    sets = [th.shingle_hashes(word.findall(t)) for t in texts]
+    sigs = mh.signatures_batch(sets)
+    for i, s in enumerate(sets):
+        assert (sigs[:, i] == mh.signature(s)).all()
+    # identical signatures -> identical band keys (the LSH contract)
+    keys = mh.band_keys_batch(np.stack([sigs[:, 0], sigs[:, 0]], axis=1))
+    assert (keys[:, 0] == keys[:, 1]).all()
