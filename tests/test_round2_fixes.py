@@ -109,3 +109,34 @@ def test_minhash_batch_signatures_match_scalar():
     # identical signatures -> identical band keys (the LSH contract)
     keys = mh.band_keys_batch(np.stack([sigs[:, 0], sigs[:, 0]], axis=1))
     assert (keys[:, 0] == keys[:, 1]).all()
+
+
+def test_label_propagation_chain_graph(ray_session):
+    """A path graph (diameter 7) forces multiple propagation rounds —
+    the corpus's near-clique dup clusters converge in 1-2, so this
+    pins the loop logic itself. Expected: one component labeled by its
+    min node."""
+    import pandas as pd
+    import ray.data
+
+    from pdf_parser_ray.pipelines.dedup import (
+        label_propagation_clusters,
+        union_find_clusters,
+    )
+
+    edges = [(i, i + 1) for i in range(10, 17)] + [(30, 31), (40, 41), (40, 42)]
+    pairs = ray.data.from_pandas(
+        pd.DataFrame({"a": [a for a, _ in edges], "b": [b for _, b in edges]})
+    )
+    got = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in label_propagation_clusters(pairs).take_all()
+    )
+    expected = sorted(
+        (int(r["doc_id"]), int(r["cluster_id"]))
+        for _, r in union_find_clusters(
+            [{"a": a, "b": b} for a, b in edges]
+        ).iterrows()
+    )
+    assert got == expected
+    assert (16, 10) in got and (42, 40) in got
