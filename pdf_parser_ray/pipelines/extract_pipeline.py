@@ -180,7 +180,10 @@ def run_extract_job(
 
     ``staging_dir``: route + hive-partition the input by unit ONCE
     (stage_pages) so each unit reads only its own files instead of
-    filtering a full scan — the fleet-scale layout (DESIGN.md).
+    filtering a full scan — the fleet-scale layout (DESIGN.md). At
+    ``num_units >= 32`` staging switches ON automatically (scan
+    amplification of the filter-scan path is O(units)); pass
+    ``staging_dir=""`` to force filter-scan anyway.
     """
     import ray.data
 
@@ -188,6 +191,17 @@ def run_extract_job(
 
     if giant_cap is None:
         giant_cap = GIANT_ROW_BYTES
+    if staging_dir is None and num_units >= 32:
+        # keyed by the input path so a different input never reuses a
+        # stale staging layout (stage_pages is idempotent per dir)
+        import hashlib
+
+        key = hashlib.sha256(
+            f"{os.path.abspath(pages_path)}|{num_partitions}|{num_units}".encode()
+        ).hexdigest()[:10]
+        staging_dir = out_dir.rstrip("/") + f"_staging_{key}"
+    elif staging_dir == "":
+        staging_dir = None
     if staging_dir is not None:
         stage_pages(
             pages_path,

@@ -140,3 +140,21 @@ def test_label_propagation_chain_graph(ray_session):
     )
     assert got == expected
     assert (16, 10) in got and (42, 40) in got
+
+
+def test_auto_staging_at_high_unit_count(ray_session, tmp_path):
+    """num_units >= 32 switches the hive-staged layout on
+    automatically (fleet default); totals match the filter-scan path."""
+    from pdf_parser_ray.pipelines.extract_pipeline import run_extract_job
+    from pdf_parser_ray.sources.synth import build_pages_table
+
+    pages = build_pages_table("/root/testdata/sf0.001")
+    out = str(tmp_path / "auto")
+    results = run_extract_job(
+        pages, out, num_units=32, num_partitions=64, concurrency=1
+    )
+    assert sum(r["rows"] for r in results) == 500
+    import glob
+
+    staged = glob.glob(str(tmp_path / "auto_staging_*"))
+    assert staged and any("unit_id=" in p for p in glob.glob(staged[0] + "/*"))
