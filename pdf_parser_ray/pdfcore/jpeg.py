@@ -142,22 +142,28 @@ def _extend(v: int, size: int) -> int:
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with FF00 byte
-    unstuffing; stops at any non-RST marker."""
+    unstuffing; stops at any non-RST marker.
+
+    The accumulator is truncated after every consume (unbounded bignum
+    growth would make decode quadratic in stream size), and pad bits
+    appended past the real data are TRACKED: a symbol that needs one
+    is a truncated stream and raises (the reference's jpeg crate
+    errors there too — zero-filled MCUs must not pass as decoded)."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.pad = 0  # pad bits currently in acc (always the lowest)
 
     def _fill(self):
         d = self.data
         while self.nbits <= 24:
             if self.pos >= len(d):
-                # zero-pad; a well-formed scan never decodes past its
-                # last full byte (the encoder 1-fills the final byte)
                 self.acc <<= 8
                 self.nbits += 8
+                self.pad += 8
                 continue
             b = d[self.pos]
             if b == 0xFF:
@@ -167,6 +173,7 @@ class _BitReader:
                     self.acc = (self.acc << 8) | 0xFF
                 else:  # RST / EOI / next segment: stop consuming, pad
                     self.acc <<= 8
+                    self.pad += 8
             else:
                 self.pos += 1
                 self.acc = (self.acc << 8) | b
@@ -175,10 +182,12 @@ class _BitReader:
     def read_bit(self) -> int:
         if self.nbits == 0:
             self._fill()
-            if self.nbits == 0:
-                raise JpegError("entropy data exhausted")
+        if self.nbits <= self.pad:
+            raise JpegError("entropy data truncated")
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        bit = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1
+        return bit
 
     def read_bits(self, n: int) -> int:
         v = 0
@@ -204,6 +213,7 @@ class _BitReader:
                 self.pos = p + 2
                 self.acc = 0
                 self.nbits = 0
+                self.pad = 0
                 return
             p += 1
         raise JpegError("restart marker not found")
@@ -214,9 +224,25 @@ def _idct2(coef: np.ndarray) -> np.ndarray:
     return _A.T @ coef @ _A
 
 
+# decoded-plane safety cap (mirrors filters.MAX_DECODED_BYTES intent:
+# one hostile row must not OOM a task); 32M px ~ 256 MB of float64
+MAX_PIXELS = 32_000_000
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG. Returns (width, height, n_components,
-    pixels) — pixels are row-major RGB (3 comp) or gray (1 comp)."""
+    pixels) — pixels are row-major RGB (3 comp) or gray (1 comp).
+    Malformed input raises ``JpegError`` (never a raw struct/index
+    error — the per-row error channel depends on that contract)."""
+    try:
+        return _decode_jpeg(data)
+    except JpegError:
+        raise
+    except (struct.error, IndexError, ValueError, ZeroDivisionError) as e:
+        raise JpegError(f"malformed JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
     pos = 2
@@ -264,14 +290,24 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 raise JpegError(f"unsupported precision {precision}")
             h = struct.unpack(">H", seg[1:3])[0]
             w = struct.unpack(">H", seg[3:5])[0]
+            if w == 0 or h == 0:
+                raise JpegError("zero image dimension")
+            if w * h > MAX_PIXELS:
+                raise JpegError(f"image exceeds safety cap ({w}x{h})")
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
                 cid = seg[6 + 3 * c]
                 hv = seg[7 + 3 * c]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": seg[8 + 3 * c]}
-                )
+                hs, vs = hv >> 4, hv & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise JpegError(f"invalid sampling factors {hs}x{vs}")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": seg[8 + 3 * c]})
+            hmax_ = max(c["h"] for c in comps)
+            vmax_ = max(c["v"] for c in comps)
+            for c in comps:
+                if hmax_ % c["h"] or vmax_ % c["v"]:
+                    raise JpegError("non-integer subsampling ratio")
             frame = {"w": w, "h": h, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(f"unsupported SOF marker 0xFF{marker:02X} (not baseline)")
@@ -388,6 +424,7 @@ class _BitWriter:
         while self.nbits >= 8:
             self.nbits -= 8
             b = (self.acc >> self.nbits) & 0xFF
+            self.acc &= (1 << self.nbits) - 1  # keep acc bounded
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing

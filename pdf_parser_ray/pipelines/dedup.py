@@ -425,6 +425,19 @@ def label_propagation_clusters(pairs_ds, max_rounds: int = 50):
         .map_batches(lambda t: t, batch_format="pyarrow")
         .materialize()
     )
+    if edges.count() == 0:
+        # no duplicate pairs -> no clusters; empty blocks lose their
+        # schema through joins, so short-circuit with a typed empty
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     def both_dirs(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -456,8 +469,9 @@ def label_propagation_clusters(pairs_ds, max_rounds: int = 50):
     )
 
     def _label_sum(ds) -> int:
+        # Ray's Dataset.aggregate returns None on an empty dataset
         row = ds.aggregate(Sum("label", alias_name="s"))
-        return int(row["s"])
+        return int(row["s"]) if row and row["s"] is not None else 0
 
     def _as_arrow(ds):
         # both union arms must carry the SAME block type or Ray's sort

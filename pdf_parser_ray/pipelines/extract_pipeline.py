@@ -110,10 +110,30 @@ def stage_pages(
     files — the fleet-scale layout from DESIGN.md "Unit reads", which
     removes the per-unit full-input re-read. Idempotent (atomic commit
     + _SUCCESS marker)."""
+    import json
+
     import ray.data
 
+    grid = {
+        "pages_path": os.path.abspath(pages_path),
+        "num_partitions": num_partitions,
+        "num_units": num_units,
+    }
     marker = os.path.join(staging_dir, "_SUCCESS")
     if os.path.exists(marker):
+        # a staged layout is only valid for the grid that built it:
+        # reusing it under a different unit count would silently drop
+        # the partitions that fall outside every unit's filter range
+        try:
+            with open(marker) as f:
+                prev = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            prev = None  # pre-grid marker: refuse (cannot validate)
+        if prev != grid:
+            raise ValueError(
+                f"staging dir {staging_dir} was built for {prev}, "
+                f"requested {grid}; use a fresh staging_dir"
+            )
         return staging_dir
 
     from ..sources.synth import PIPELINE_COLUMNS
@@ -148,7 +168,7 @@ def stage_pages(
     )
     os.rename(tmp, staging_dir)
     with open(marker, "w") as f:
-        f.write("ok")
+        json.dump(grid, f)
     return staging_dir
 
 
@@ -202,6 +222,19 @@ def run_extract_job(
         staging_dir = out_dir.rstrip("/") + f"_staging_{key}"
     elif staging_dir == "":
         staging_dir = None
+    job_params = {
+        "num_units": num_units,
+        "num_partitions": num_partitions,
+        "giant_cap": giant_cap,
+        "pages_path": os.path.abspath(pages_path),
+    }
+    # grid guard FIRST: a mismatched resume must be refused before the
+    # (full-corpus) staging pass spends minutes building a layout the
+    # job is not allowed to use
+    if resume:
+        mf.check_job(out_dir, job_params)
+    else:
+        shutil.rmtree(out_dir, ignore_errors=True)
     if staging_dir is not None:
         stage_pages(
             pages_path,
@@ -209,17 +242,6 @@ def run_extract_job(
             num_partitions=num_partitions,
             num_units=num_units,
         )
-
-    job_params = {
-        "num_units": num_units,
-        "num_partitions": num_partitions,
-        "giant_cap": giant_cap,
-        "pages_path": os.path.abspath(pages_path),
-    }
-    if resume:
-        mf.check_job(out_dir, job_params)  # refuse a mismatched unit grid
-    else:
-        shutil.rmtree(out_dir, ignore_errors=True)
     done = mf.done_units(out_dir) if resume else set()
     os.makedirs(out_dir, exist_ok=True)
     mf.write_job(out_dir, job_params)

@@ -275,14 +275,10 @@ def _with_user_bucket(t: pa.Table) -> pa.Table:
     USER_BUCKETS with cluster size; skewed single users stay bounded
     because a user's events always fit one group's worth of memory or
     the window itself is meaningless."""
-    b = pc.subtract(
-        t["user_id"],
-        pc.multiply(
-            pc.divide(t["user_id"], pa.scalar(USER_BUCKETS, pa.int64())),
-            pa.scalar(USER_BUCKETS, pa.int64()),
-        ),
-    )
-    return t.append_column("bucket", b.combine_chunks().cast(pa.int32()))
+    from .dedup import _mod_bucket
+
+    b = _mod_bucket(t["user_id"].combine_chunks(), USER_BUCKETS)
+    return t.append_column("bucket", b.cast(pa.int32()))
 
 
 def events_running(sf_dir: str):

@@ -301,3 +301,81 @@ def test_media_meta_decodes_real_jpeg():
     assert out["mime"][0].as_py() == "image/jpeg"
     assert out["decoded"][0].as_py() is True
     assert out["width"][0].as_py() == 4 and out["height"][0].as_py() == 4
+
+
+def test_decode_large_image_linear_time():
+    """Accumulator truncation keeps decode linear — a 192x192 decode
+    previously took ~27 s (quadratic bignum growth); now well under 2 s."""
+    import time
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (192, 192), dtype=np.uint8)
+    data = encode_jpeg(px.tobytes(), 192, 192, 1)
+    t0 = time.monotonic()
+    w, h, n, out = decode_jpeg(data)
+    assert (w, h, n) == (192, 192, 1)
+    assert time.monotonic() - t0 < 2.0
+    err = np.abs(
+        np.frombuffer(out, np.uint8).reshape(192, 192).astype(int) - px.astype(int)
+    ).max()
+    assert err <= 1  # extreme random noise rounds +-1 at quant=1
+
+
+def test_truncated_entropy_raises():
+    """A scan cut off mid-MCU must raise, not return zero-filled
+    pixels as ok (the silent-corruption channel)."""
+    data = encode_jpeg(bytes(range(200)) * 30, 50, 40, 3)
+    sos = data.find(b"\xff\xda")
+    cut = data[: sos + (len(data) - sos) // 2]
+    with pytest.raises(JpegError):
+        decode_jpeg(cut)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        b"\xff\xd8\xff\xc0\x00\x03\x08",            # truncated SOF
+        b"\xff\xd8\xff\xdd\x00\x02",                # truncated DRI
+        b"\xff\xd8\xff\xc4\x00\x04\x00\x01",        # truncated DHT
+    ],
+)
+def test_malformed_headers_raise_jpeg_error(bad):
+    """Malformed input raises JpegError, never a raw struct/index
+    error — the per-row error channel depends on that contract."""
+    with pytest.raises(JpegError):
+        decode_jpeg(bad)
+
+
+def test_hostile_dimensions_rejected():
+    """A tiny stream declaring a 65535x65535 frame must be refused
+    before allocating ~100 GB of planes."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+    out += struct.pack(">HH", 65535, 65535) + bytes([1, 1, 0x11, 0])
+    with pytest.raises(JpegError, match="safety cap"):
+        decode_jpeg(bytes(out))
+    # zero dimension
+    out2 = bytearray(b"\xff\xd8")
+    out2 += b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+    out2 += struct.pack(">HH", 0, 8) + bytes([1, 1, 0x11, 0])
+    with pytest.raises(JpegError, match="zero"):
+        decode_jpeg(bytes(out2))
+
+
+def test_media_meta_survives_corrupt_jpeg():
+    """A payload with JPEG magic but garbage body must become an
+    undecoded row, never a job-killing exception."""
+    import pyarrow as pa
+
+    from pdf_parser_ray.pipelines.multimodal import MediaMeta
+
+    t = pa.table(
+        {
+            "url": ["https://x/p/1"],
+            "html": pa.array([b"\xff\xd8\xff\xc0\x00\x03\x08"], pa.binary()),
+        }
+    )
+    out = MediaMeta()(t)
+    assert out["mime"][0].as_py() == "image/jpeg"
+    assert out["decoded"][0].as_py() is False

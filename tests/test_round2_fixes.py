@@ -158,3 +158,33 @@ def test_auto_staging_at_high_unit_count(ray_session, tmp_path):
 
     staged = glob.glob(str(tmp_path / "auto_staging_*"))
     assert staged and any("unit_id=" in p for p in glob.glob(staged[0] + "/*"))
+
+
+def test_stage_dir_grid_mismatch_refused(ray_session, tmp_path):
+    """A staged layout is only valid for the grid that built it —
+    reusing it under a different unit count would silently drop rows."""
+    from pdf_parser_ray.pipelines.extract_pipeline import stage_pages
+    from pdf_parser_ray.sources.synth import build_pages_table
+
+    pages = build_pages_table("/root/testdata/sf0.001")
+    staging = str(tmp_path / "st")
+    stage_pages(pages, staging, num_partitions=64, num_units=8)
+    # same grid: idempotent reuse
+    stage_pages(pages, staging, num_partitions=64, num_units=8)
+    with pytest.raises(ValueError, match="staging dir"):
+        stage_pages(pages, staging, num_partitions=64, num_units=4)
+
+
+def test_label_propagation_empty_pairs(ray_session):
+    """Zero verified pairs must yield an empty cluster set, not a
+    TypeError from Ray's None-on-empty aggregate."""
+    import pandas as pd
+    import ray.data
+
+    from pdf_parser_ray.pipelines.dedup import label_propagation_clusters
+
+    pairs = ray.data.from_pandas(
+        pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                      "b": pd.Series([], dtype="int64")})
+    )
+    assert label_propagation_clusters(pairs).count() == 0
