@@ -4,15 +4,21 @@ Closes the reference's DCTDecode arm (``/root/reference``
 src/image.rs:140-143 decodes image XObjects via a JPEG crate; this
 container has no codec, so the engine carries its own):
 
-- ``decode_jpeg``: baseline sequential DCT (SOF0), 8-bit, grayscale or
+- ``decode_jpeg``: baseline sequential DCT (SOF0/1) AND progressive
+  DCT (SOF2, Annex G: spectral selection x successive approximation,
+  DC/AC first + refinement scans, EOB runs), 8-bit, grayscale or
   YCbCr (4:4:4 / 4:2:2 / 4:2:0 with nearest-neighbor chroma
-  upsampling), restart markers, 8/16-bit DQT precision. Progressive
-  (SOF2) and arithmetic coding raise ``JpegError``.
+  upsampling), restart markers, 8/16-bit DQT precision. Hierarchical
+  and arithmetic coding raise ``JpegError``.
 - ``encode_jpeg``: baseline encoder (4:4:4, spec Annex K standard
   Huffman tables, caller-chosen flat quantization — the default
   all-ones tables make the roundtrip near-lossless, which the tests
   pin), used by the CLI's ``{page}-{image}.jpg`` sink (reference
   src/main.rs:36-42 parity) and to build DCT fixtures.
+- ``encode_progressive_jpeg``: progressive encoder (test/fixture
+  support); with full refinement its coefficients equal the baseline
+  encoder's, so progressive decode must match baseline decode byte
+  for byte — the tests' oracle.
 
 Everything here derives from the public JPEG specification; the IDCT
 is the textbook separable orthonormal transform, vectorized with
@@ -225,8 +231,34 @@ def _idct2(coef: np.ndarray) -> np.ndarray:
 
 
 # decoded-plane safety cap (mirrors filters.MAX_DECODED_BYTES intent:
-# one hostile row must not OOM a task); 32M px ~ 256 MB of float64
-MAX_PIXELS = 32_000_000
+# one hostile row must not OOM a task); 16M px keeps the float64
+# working planes of a 3-component image under ~400 MB
+MAX_PIXELS = 16_000_000
+
+
+def _parse_dqt(seg: bytes, qt: dict) -> None:
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 0xF
+        i += 1
+        if pq == 0:
+            qt[tq] = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int32)
+            i += 64
+        else:
+            qt[tq] = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int32)
+            i += 128
+
+
+def _parse_dht(seg: bytes, huff: dict) -> None:
+    i = 0
+    while i < len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 0xF
+        i += 1
+        bits = [0] + list(seg[i : i + 16])
+        i += 16
+        n = sum(bits)
+        huff[(tc, th)] = _build_decode_table(bits, seg[i : i + n])
+        i += n
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
@@ -262,29 +294,10 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 0xF
-                i += 1
-                if pq == 0:
-                    tbl = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int32)
-                    i += 64
-                else:
-                    tbl = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int32)
-                    i += 128
-                qt[tq] = tbl
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 0xF
-                i += 1
-                bits = [0] + list(seg[i : i + 16])
-                i += 16
-                n = sum(bits)
-                huffval = list(seg[i : i + n])
-                i += n
-                huff[(tc, th)] = _build_decode_table(bits, huffval)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            _parse_dht(seg, huff)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise JpegError(f"unsupported precision {precision}")
@@ -308,14 +321,22 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for c in comps:
                 if hmax_ % c["h"] or vmax_ % c["v"]:
                     raise JpegError("non-integer subsampling ratio")
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegError(f"unsupported SOF marker 0xFF{marker:02X} (not baseline)")
+            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError(
+                f"unsupported SOF marker 0xFF{marker:02X} (not baseline/progressive)"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
+            if frame["progressive"]:
+                # hand the whole remaining stream (from this SOS) to
+                # the multi-scan progressive loop
+                return _decode_progressive(
+                    data, pos - 2, frame, qt, huff, restart_interval
+                )
             ns = seg[0]
             scan_tables = {}
             for c in range(ns):
@@ -388,7 +409,15 @@ def _decode_scan(data, pos, frame, qt, huff, scan_tables, restart_interval):
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
 
-    # upsample to full resolution (nearest-neighbor replication)
+    return _finish_planes(frame, planes)
+
+
+def _finish_planes(frame, planes) -> tuple[int, int, int, bytes]:
+    """Upsample (nearest-neighbor chroma replication) + color convert
+    — shared by the baseline and progressive decode paths."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -396,7 +425,7 @@ def _decode_scan(data, pos, frame, qt, huff, scan_tables, restart_interval):
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         full.append(p[:h, :w])
 
-    if ncomp == 1:
+    if len(comps) == 1:
         out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return w, h, 1, out.tobytes()
 
@@ -407,6 +436,255 @@ def _decode_scan(data, pos, frame, qt, huff, scan_tables, restart_interval):
     rgb = np.stack([r, g, b], axis=-1)
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return w, h, 3, out.tobytes()
+
+
+# -- progressive decoding (SOF2, T.81 Annex G) -------------------------------
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next non-stuffed, non-RST marker at/after pos."""
+    p = pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    raise JpegError("unterminated scan (no trailing marker)")
+
+
+def _decode_progressive(data, pos, frame, qt, huff, restart_interval):
+    """Multi-scan progressive decode: coefficients accumulate across
+    DC/AC first + refinement scans (spectral selection x successive
+    approximation); dequantize + IDCT once at EOI."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if len(comps) not in (1, 3):
+        raise JpegError(f"unsupported component count {len(comps)}")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        # the component's OWN block grid (non-interleaved scans)
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        c["bw_c"] = -(-cw // 8)
+        c["bh_c"] = -(-ch // 8)
+        # zig-zag-ordered coefficients, accumulated across scans
+        c["coef"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int32)
+
+    saw_scan = False
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            _parse_dqt(seg, qt)
+        elif marker == 0xC4:
+            _parse_dht(seg, huff)
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs = seg[1 + 2 * i]
+                td, ta = seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF
+                matches = [j for j, c in enumerate(comps) if c["id"] == cs]
+                if not matches:
+                    raise JpegError(f"scan references unknown component {cs}")
+                scomps.append((matches[0], td, ta))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            pos = _progressive_scan(
+                data,
+                pos + seglen,
+                comps,
+                scomps,
+                huff,
+                ss,
+                se,
+                ah,
+                al,
+                restart_interval,
+                mcux,
+                mcuy,
+            )
+            saw_scan = True
+            continue
+        pos += seglen
+    if not saw_scan:
+        raise JpegError("no SOS marker found")
+
+    # finish: dequantize + IDCT every block (vectorized per component)
+    planes = []
+    for c in comps:
+        q = qt.get(c["tq"])
+        if q is None:
+            raise JpegError("missing quant table")
+        natural = np.zeros((c["bh"], c["bw"], 64), dtype=np.float64)
+        natural[..., ZIGZAG] = c["coef"] * q
+        blocks = natural.reshape(c["bh"], c["bw"], 8, 8)
+        spatial = np.einsum("xu,rcuv,vy->rcxy", _A.T, blocks, _A) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
+        planes.append(plane)
+    return _finish_planes(frame, planes)
+
+
+def _progressive_scan(
+    data, pos, comps, scomps, huff, ss, se, ah, al, ri, mcux, mcuy
+):
+    """Decode one progressive scan; returns the position of the next
+    marker after its entropy data."""
+    reader = _BitReader(data, pos)
+    state = {"eobrun": 0}
+
+    if ss == 0:  # ---- DC scan ----
+        if se != 0:
+            raise JpegError("DC scan with Se != 0")
+        preds = [0] * len(scomps)
+
+        def dc_block(si, ci, row, col):
+            c = comps[ci]
+            blk = c["coef"][row, col]
+            if ah == 0:
+                td = scomps[si][1]
+                tbl = huff.get((0, td))
+                if tbl is None:
+                    raise JpegError("missing DC table")
+                size = reader.decode_symbol(tbl)
+                preds[si] += _extend(reader.read_bits(size), size)
+                blk[0] = preds[si] << al
+            else:  # refinement: one bit per block
+                if reader.read_bit():
+                    blk[0] |= 1 << al
+
+        if len(scomps) > 1:  # interleaved MCU order
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and unit and unit % ri == 0:
+                        reader.sync_to_restart()
+                        preds = [0] * len(scomps)
+                    for si, (ci, _, _) in enumerate(scomps):
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(
+                                    si, ci, my * c["v"] + by, mx * c["h"] + bx
+                                )
+                    unit += 1
+        else:
+            ci = scomps[0][0]
+            c = comps[ci]
+            unit = 0
+            for row in range(c["bh_c"]):
+                for col in range(c["bw_c"]):
+                    if ri and unit and unit % ri == 0:
+                        reader.sync_to_restart()
+                        preds = [0] * len(scomps)
+                    dc_block(0, ci, row, col)
+                    unit += 1
+    else:  # ---- AC scan: exactly one component (T.81 G.1.1.1.1) ----
+        if len(scomps) != 1:
+            raise JpegError("interleaved AC progressive scan")
+        if not (1 <= ss <= se <= 63):
+            raise JpegError("invalid spectral band")
+        ci, _, ta = scomps[0]
+        tbl = huff.get((1, ta))
+        if tbl is None:
+            raise JpegError("missing AC table")
+        c = comps[ci]
+        unit = 0
+        for row in range(c["bh_c"]):
+            for col in range(c["bw_c"]):
+                if ri and unit and unit % ri == 0:
+                    reader.sync_to_restart()
+                    state["eobrun"] = 0
+                blk = c["coef"][row, col]
+                if ah == 0:
+                    _ac_first_block(reader, tbl, blk, ss, se, al, state)
+                else:
+                    _ac_refine_block(reader, tbl, blk, ss, se, al, state)
+                unit += 1
+
+    return _next_marker(data, reader.pos)
+
+
+def _ac_first_block(reader, tbl, blk, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) + reader.read_bits(r) - 1
+            return
+        k += r
+        if k > se:
+            raise JpegError("AC index out of band")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(reader, tbl, blk, ss, se, al, state):
+    """T.81 G.1.2.3 successive-approximation AC refinement: correction
+    bits for history-nonzero coefficients ride inline with the
+    run/newly-nonzero symbols."""
+    p1 = 1 << al
+    m1 = -p1
+
+    def correct(k):
+        cur = int(blk[k])
+        if reader.read_bit() and (abs(cur) & p1) == 0:
+            blk[k] = cur + (p1 if cur > 0 else m1)
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_symbol(tbl)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = (1 << r) + reader.read_bits(r)
+                    break
+                val = 0  # ZRL: advance over 16 zero-history positions
+            else:
+                if s != 1:
+                    raise JpegError("invalid AC refinement symbol")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
 
 
 # -- encoder -----------------------------------------------------------------
@@ -556,4 +834,216 @@ def encode_jpeg(
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# -- progressive encoder (test/fixture support) ------------------------------
+
+
+def _sym(bw: _BitWriter, tbl: dict, symbol: int) -> None:
+    code, length = tbl[symbol]
+    bw.write(code, length)
+
+
+def _quantized_zz_blocks(pixels, width, height, ncomp, quant):
+    """Per component: (by, bx, 64) int64 zig-zag quantized coefficient
+    blocks (4:4:4, edge-replicated padding) — shared math with the
+    baseline encoder."""
+    arr = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(height, width, ncomp)
+        .astype(np.float64)
+    )
+    if ncomp == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        chans = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        chans = [arr[..., 0]]
+    q = np.full(64, quant, dtype=np.int64)
+    by = (height + 7) // 8
+    bx = (width + 7) // 8
+    out = []
+    for ch in chans:
+        p = np.empty((by * 8, bx * 8))
+        p[:height, :width] = ch
+        p[height:, :width] = ch[-1:, :]
+        p[:, width:] = p[:, width - 1 : width]
+        zz = np.empty((by, bx, 64), dtype=np.int64)
+        for r_ in range(by):
+            for c_ in range(bx):
+                coef = _fdct2(p[r_ * 8 : r_ * 8 + 8, c_ * 8 : c_ * 8 + 8] - 128.0)
+                zz[r_, c_] = np.round(coef.reshape(64)[ZIGZAG] / q)
+        out.append(zz)
+    return out, by, bx
+
+
+def _enc_ac_first(bw, tbl, zz, ss, se, al):
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al  # AC point transform truncates toward zero
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            _sym(bw, tbl, 0xF0)
+            r -= 16
+        s = t.bit_length()
+        _sym(bw, tbl, (r << 4) | s)
+        vv = t if v > 0 else -t
+        bw.write(vv if vv >= 0 else vv + (1 << s) - 1, s)
+        r = 0
+    if r:
+        _sym(bw, tbl, 0x00)  # EOB0 (no cross-block EOB runs emitted)
+
+
+def _enc_ac_refine(bw, tbl, zz, ss, se, al):
+    """Mirror of _ac_refine_block: ZRL triggers at ANY nonzero once the
+    zero-history run exceeds 15 (and only if a newly-nonzero
+    coefficient still follows); correction bits buffer between symbols
+    and flush after each emitted symbol / the final EOB."""
+    vals = [int(zz[k]) for k in range(ss, se + 1)]
+    lo = [abs(v) >> al for v in vals]
+    hi = [abs(v) >> (al + 1) for v in vals]
+    last_new = -1
+    for i in range(len(vals)):
+        if hi[i] == 0 and lo[i] != 0:
+            last_new = i
+    r = 0
+    buf: list[int] = []
+    for i in range(len(vals)):
+        if lo[i] == 0:
+            r += 1
+            continue
+        while r > 15 and i <= last_new:
+            _sym(bw, tbl, 0xF0)
+            r -= 16
+            for b in buf:
+                bw.write(b, 1)
+            buf = []
+        if hi[i] != 0:  # history-nonzero: correction bit
+            buf.append(lo[i] & 1)
+            continue
+        # newly nonzero at this level (magnitude is exactly 1)
+        _sym(bw, tbl, (r << 4) | 1)
+        bw.write(1 if vals[i] > 0 else 0, 1)
+        r = 0
+        for b in buf:
+            bw.write(b, 1)
+        buf = []
+    if r or buf:
+        _sym(bw, tbl, 0x00)
+        for b in buf:
+            bw.write(b, 1)
+
+
+def encode_progressive_jpeg(
+    pixels: bytes,
+    width: int,
+    height: int,
+    ncomp: int,
+    quant: int = 1,
+    dc_al: int = 1,
+    ac_al: int = 1,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Progressive (SOF2) 4:4:4 encoder exercising every Annex G
+    decode path: interleaved DC first scan at Al=dc_al + refinement
+    scans down to 0, then per-component spectral-band AC first scans
+    at Al=ac_al + refinement scans down to 0. Full refinement makes
+    the coefficients IDENTICAL to the baseline encoder's, so decoded
+    pixels must equal the baseline decode byte for byte (the test
+    oracle)."""
+    if ncomp not in (1, 3):
+        raise JpegError("encode_progressive_jpeg supports 1 or 3 components")
+    if len(pixels) != width * height * ncomp:
+        raise JpegError("pixel buffer size mismatch")
+    zzs, by, bx = _quantized_zz_blocks(pixels, width, height, ncomp, quant)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 1, 1
+    ) + b"\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([quant] * 64)
+    out += b"\xff\xc2" + struct.pack(">H", 8 + 3 * ncomp) + b"\x08" + struct.pack(
+        ">HH", height, width
+    ) + bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        out += bytes([cid, 0x11, 0])
+
+    def _dht(tc, th, bits, huffval):
+        payload = bytes([(tc << 4) | th]) + bytes(bits[1:]) + bytes(huffval)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    out += _dht(0, 0, *_STD_DC_LUM)
+    out += _dht(1, 0, *_STD_AC_LUM)
+    if ncomp == 3:
+        out += _dht(0, 1, *_STD_DC_CHR)
+        out += _dht(1, 1, *_STD_AC_CHR)
+
+    dc_tbls = [_build_encode_table(*(_STD_DC_LUM if c == 0 else _STD_DC_CHR)) for c in range(ncomp)]
+    ac_tbls = [_build_encode_table(*(_STD_AC_LUM if c == 0 else _STD_AC_CHR)) for c in range(ncomp)]
+
+    def _sos(comp_specs, ss, se, ah, al):
+        seg = bytearray([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            seg += bytes([cid, (td << 4) | ta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + bytes(seg)
+
+    # ---- DC first scan (interleaved, Al=dc_al) ----
+    out += _sos([(c + 1, 0 if c == 0 else 1, 0) for c in range(ncomp)], 0, 0, 0, dc_al)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for r_ in range(by):
+        for c_ in range(bx):
+            for ci in range(ncomp):
+                dc = int(zzs[ci][r_, c_, 0]) >> dc_al  # arithmetic shift
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                size = 0 if diff == 0 else abs(diff).bit_length()
+                _sym(bw, dc_tbls[ci], size)
+                if size:
+                    bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    bw.flush()
+    out += bw.out
+
+    # ---- DC refinement scans ----
+    for lv in range(dc_al - 1, -1, -1):
+        out += _sos(
+            [(c + 1, 0, 0) for c in range(ncomp)], 0, 0, lv + 1, lv
+        )
+        bw = _BitWriter()
+        for r_ in range(by):
+            for c_ in range(bx):
+                for ci in range(ncomp):
+                    bw.write((int(zzs[ci][r_, c_, 0]) >> lv) & 1, 1)
+        bw.flush()
+        out += bw.out
+
+    # ---- AC scans: per component, per spectral band ----
+    for ci in range(ncomp):
+        ta = 0 if ci == 0 else 1
+        for ss, se in bands:
+            out += _sos([(ci + 1, 0, ta)], ss, se, 0, ac_al)
+            bw = _BitWriter()
+            for r_ in range(by):
+                for c_ in range(bx):
+                    _enc_ac_first(bw, ac_tbls[ci], zzs[ci][r_, c_], ss, se, ac_al)
+            bw.flush()
+            out += bw.out
+            for lv in range(ac_al - 1, -1, -1):
+                out += _sos([(ci + 1, 0, ta)], ss, se, lv + 1, lv)
+                bw = _BitWriter()
+                for r_ in range(by):
+                    for c_ in range(bx):
+                        _enc_ac_refine(bw, ac_tbls[ci], zzs[ci][r_, c_], ss, se, lv)
+                bw.flush()
+                out += bw.out
+
+    out += b"\xff\xd9"
     return bytes(out)
