@@ -7,6 +7,8 @@ import struct
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from pdf_parser_ray.pdfcore.jpeg import (
     _STD_AC_LUM,
@@ -441,3 +443,15 @@ def test_pdf_with_progressive_dct_image():
     got = np.frombuffer(out, np.uint8).astype(int)
     exp = np.frombuffer(pixels, np.uint8).astype(int)
     assert np.abs(got - exp).max() <= 2
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_decode_fuzz_only_jpeg_error(data):
+    """Arbitrary bytes (including SOI-prefixed garbage) must either
+    decode or raise JpegError — never any other exception type."""
+    for payload in (data, b"\xff\xd8" + data):
+        try:
+            decode_jpeg(payload)
+        except JpegError:
+            pass
