@@ -183,27 +183,40 @@ class MinHasher:
             return np.empty((self.k, 0), dtype=np.uint64)
         lens = np.array([len(h) for h in hash_arrays], dtype=np.int64)
         out = np.full((self.k, n), _MASK64, dtype=np.uint64)
-        nonempty = lens > 0
-        if not nonempty.any():
-            return out
-        allh = np.concatenate([h for h in hash_arrays if len(h)])
-        with np.errstate(over="ignore"):
-            y = (allh[None, :] ^ self.seeds[:, None]) * self._MIX
-            y ^= y >> np.uint64(33)
-            y *= np.uint64(0xC4CEB9FE1A85EC53)
-            y ^= y >> np.uint64(33)
-        offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-        np.cumsum(lens[nonempty][:-1], out=offsets[1:])
-        mins = np.minimum.reduceat(y, offsets, axis=1)
-        out[:, nonempty] = mins
+        # chunk at ~200k shingles: the (k x shingles) mixing matrix is
+        # 512 B/shingle — an unchunked 1024-doc batch of long texts
+        # would transiently hold ~1 GB per actor
+        CHUNK = 200_000
+        start = 0
+        while start < n:
+            end = start
+            total = 0
+            while end < n and (total == 0 or total + lens[end] <= CHUNK):
+                total += int(lens[end])
+                end += 1
+            idx = np.arange(start, end)
+            sub_lens = lens[idx]
+            nonempty = sub_lens > 0
+            if nonempty.any():
+                allh = np.concatenate(
+                    [hash_arrays[i] for i in idx if len(hash_arrays[i])]
+                )
+                with np.errstate(over="ignore"):
+                    y = (allh[None, :] ^ self.seeds[:, None]) * self._MIX
+                    y ^= y >> np.uint64(33)
+                    y *= np.uint64(0xC4CEB9FE1A85EC53)
+                    y ^= y >> np.uint64(33)
+                offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+                np.cumsum(sub_lens[nonempty][:-1], out=offsets[1:])
+                out[:, idx[nonempty]] = np.minimum.reduceat(y, offsets, axis=1)
+            start = end
         return out
 
     def band_keys_batch(self, sigs: np.ndarray) -> np.ndarray:
         """(bands, n_docs) int64 bucket keys from batch signatures via
         a vectorized 64-bit mix over each band's rows + the band id.
-        A different (but equally deterministic) key family than the
-        scalar ``band_keys``: identical band chunks still collide
-        identically, which is all LSH banding requires."""
+        Identical band chunks collide identically — all LSH banding
+        requires; the key family is deterministic across processes."""
         k, n = sigs.shape
         chunks = sigs.reshape(self.bands, self.rows, n)
         with np.errstate(over="ignore"):
@@ -215,22 +228,6 @@ class MinHasher:
                 acc = (acc ^ chunks[:, r, :]) * self._MIX
                 acc ^= acc >> np.uint64(29)
         return acc.view(np.int64)  # bit-reinterpret: int64 for Arrow
-
-    def band_keys(self, sig: np.ndarray) -> list[int]:
-        """One uint64 bucket key per band (band id mixed in)."""
-        import hashlib
-
-        keys = []
-        for band in range(self.bands):
-            chunk = sig[band * self.rows : (band + 1) * self.rows]
-            h = int.from_bytes(
-                hashlib.blake2b(
-                    chunk.tobytes() + bytes([band]), digest_size=8
-                ).digest(),
-                "big",
-            )
-            keys.append(h)
-        return keys
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

@@ -210,6 +210,14 @@ class _BitReader:
                 return sym
         raise JpegError("invalid Huffman code")
 
+    def read_magnitude(self, size: int) -> int:
+        """SSSS-category receive: sizes above 16 cannot occur in any
+        legal 8-bit stream (hostile DHTs could otherwise demand
+        read_bits(200) and build bignum coefficients)."""
+        if size > 16:
+            raise JpegError(f"invalid magnitude category {size}")
+        return self.read_bits(size)
+
     def sync_to_restart(self):
         """Skip to just past the next RSTn marker; reset bit state."""
         d = self.data
@@ -270,7 +278,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         return _decode_jpeg(data)
     except JpegError:
         raise
-    except (struct.error, IndexError, ValueError, ZeroDivisionError) as e:
+    except (
+        struct.error,
+        IndexError,
+        KeyError,
+        ValueError,
+        TypeError,
+        ZeroDivisionError,
+        OverflowError,
+    ) as e:
         raise JpegError(f"malformed JPEG: {type(e).__name__}: {e}") from e
 
 
@@ -285,6 +301,9 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise JpegError("marker expected")
+        # tolerate legal 0xFF fill bytes before the marker (T.81 B.1.1.2)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -384,7 +403,7 @@ def _decode_scan(data, pos, frame, qt, huff, scan_tables, restart_interval):
                     for bx in range(c["h"]):
                         zz = np.zeros(64, dtype=np.int64)
                         size = reader.decode_symbol(dc_tbl)
-                        diff = _extend(reader.read_bits(size), size)
+                        diff = _extend(reader.read_magnitude(size), size)
                         pred[ci] += diff
                         zz[0] = pred[ci]
                         k = 1
@@ -480,6 +499,9 @@ def _decode_progressive(data, pos, frame, qt, huff, restart_interval):
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise JpegError("marker expected")
+        # tolerate legal 0xFF fill bytes before the marker (T.81 B.1.1.2)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -563,7 +585,7 @@ def _progressive_scan(
                 if tbl is None:
                     raise JpegError("missing DC table")
                 size = reader.decode_symbol(tbl)
-                preds[si] += _extend(reader.read_bits(size), size)
+                preds[si] += _extend(reader.read_magnitude(size), size)
                 blk[0] = preds[si] << al
             else:  # refinement: one bit per block
                 if reader.read_bit():
@@ -718,20 +740,52 @@ def _fdct2(block: np.ndarray) -> np.ndarray:
     return _A @ block @ _A.T
 
 
-def _encode_block(
-    bw: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int, dc_tbl, ac_tbl
-) -> int:
-    coef = _fdct2(block - 128.0)
-    zz = np.round(coef.reshape(64)[ZIGZAG] / q).astype(np.int64)
-    # DC
+def _jfif_headers(
+    ncomp: int, width: int, height: int, quant: int, sof_marker: bytes
+) -> bytearray:
+    """SOI + APP0 + DQT + SOF + standard DHTs — shared by the baseline
+    and progressive encoders (they MUST stay bit-identical for the
+    progressive==baseline oracle to hold)."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 1, 1
+    ) + b"\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([quant] * 64)
+    out += sof_marker + struct.pack(">H", 8 + 3 * ncomp) + b"\x08" + struct.pack(
+        ">HH", height, width
+    ) + bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        out += bytes([cid, 0x11, 0])  # 1x1 sampling, quant table 0
+
+    def _dht(tc, th, bits, huffval):
+        payload = bytes([(tc << 4) | th]) + bytes(bits[1:]) + bytes(huffval)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    out += _dht(0, 0, *_STD_DC_LUM)
+    out += _dht(1, 0, *_STD_AC_LUM)
+    if ncomp == 3:
+        out += _dht(0, 1, *_STD_DC_CHR)
+        out += _dht(1, 1, *_STD_AC_CHR)
+    return out
+
+
+def _check_encode_args(pixels, width, height, ncomp, quant):
+    if ncomp not in (1, 3):
+        raise JpegError("encoder supports 1 or 3 components")
+    if len(pixels) != width * height * ncomp:
+        raise JpegError("pixel buffer size mismatch")
+    if not 1 <= quant <= 255:
+        raise JpegError("quant must be 1..255")
+
+
+def _encode_zz_block(bw: _BitWriter, zz: np.ndarray, pred: int, dc_tbl, ac_tbl) -> int:
+    """Baseline-entropy-code one zig-zag quantized block."""
     diff = int(zz[0]) - pred
-    size = int(diff != 0 and int(np.floor(np.log2(abs(diff)))) + 1)
+    size = 0 if diff == 0 else abs(diff).bit_length()
     code, length = dc_tbl[size]
     bw.write(code, length)
     if size:
-        v = diff if diff >= 0 else diff + (1 << size) - 1
-        bw.write(v, size)
-    # AC
+        bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
     run = 0
     for k in range(1, 64):
         v = int(zz[k])
@@ -742,11 +796,10 @@ def _encode_block(
             c, ln = ac_tbl[0xF0]
             bw.write(c, ln)
             run -= 16
-        s = int(np.floor(np.log2(abs(v)))) + 1
+        s = abs(v).bit_length()
         c, ln = ac_tbl[(run << 4) | s]
         bw.write(c, ln)
-        vv = v if v >= 0 else v + (1 << s) - 1
-        bw.write(vv, s)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
         run = 0
     if run:
         c, ln = ac_tbl[0x00]
@@ -760,80 +813,35 @@ def encode_jpeg(
     """Baseline 4:4:4 encoder; ``quant`` is a flat quantization value
     (1 = near-lossless; larger = lossier). ``pixels`` row-major RGB
     (ncomp=3) or gray (ncomp=1)."""
-    if ncomp not in (1, 3):
-        raise JpegError("encode_jpeg supports 1 or 3 components")
-    if len(pixels) != width * height * ncomp:
-        raise JpegError("pixel buffer size mismatch")
-    if not 1 <= quant <= 255:
-        raise JpegError("quant must be 1..255")
+    _check_encode_args(pixels, width, height, ncomp, quant)
+    zzs, by, bx = _quantized_zz_blocks(pixels, width, height, ncomp, quant)
 
-    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, ncomp).astype(np.float64)
-    if ncomp == 3:
-        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        chans = [y, cb, cr]
-    else:
-        chans = [arr[..., 0]]
-
-    q = np.full(64, quant, dtype=np.int64)
-    out = bytearray(b"\xff\xd8")  # SOI
-    # JFIF APP0
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
-        ">HH", 1, 1
-    ) + b"\x00\x00"
-    # DQT (one table, id 0, used by all components)
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(x) for x in q)
-    # SOF0
-    out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * ncomp) + b"\x08" + struct.pack(
-        ">HH", height, width
-    ) + bytes([ncomp])
-    for cid in range(1, ncomp + 1):
-        out += bytes([cid, 0x11, 0])  # 1x1 sampling, quant table 0
-    # DHT
-    def _dht(tc, th, bits, huffval):
-        payload = bytes([(tc << 4) | th]) + bytes(bits[1:]) + bytes(huffval)
-        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
-
-    out += _dht(0, 0, *_STD_DC_LUM)
-    out += _dht(1, 0, *_STD_AC_LUM)
-    if ncomp == 3:
-        out += _dht(0, 1, *_STD_DC_CHR)
-        out += _dht(1, 1, *_STD_AC_CHR)
-    # SOS
+    out = _jfif_headers(ncomp, width, height, quant, b"\xff\xc0")
     out += b"\xff\xda" + struct.pack(">H", 6 + 2 * ncomp) + bytes([ncomp])
     for cid in range(1, ncomp + 1):
         tbl = 0 if cid == 1 else 1
         out += bytes([cid, (tbl << 4) | tbl])
     out += b"\x00\x3f\x00"
 
-    dc_lum = _build_encode_table(*_STD_DC_LUM)
-    ac_lum = _build_encode_table(*_STD_AC_LUM)
-    dc_chr = _build_encode_table(*_STD_DC_CHR)
-    ac_chr = _build_encode_table(*_STD_AC_CHR)
-
+    dc_tbls = [
+        _build_encode_table(*(_STD_DC_LUM if c == 0 else _STD_DC_CHR))
+        for c in range(ncomp)
+    ]
+    ac_tbls = [
+        _build_encode_table(*(_STD_AC_LUM if c == 0 else _STD_AC_CHR))
+        for c in range(ncomp)
+    ]
     bw = _BitWriter()
     pred = [0] * ncomp
-    by_blocks = (height + 7) // 8
-    bx_blocks = (width + 7) // 8
-    padded = []
-    for ch in chans:
-        p = np.empty((by_blocks * 8, bx_blocks * 8))
-        p[:height, :width] = ch
-        p[height:, :width] = ch[-1:, :]  # edge replicate
-        p[:, width:] = p[:, width - 1 : width]
-        padded.append(p)
-    for byy in range(by_blocks):
-        for bxx in range(bx_blocks):
+    for r_ in range(by):
+        for c_ in range(bx):
             for ci in range(ncomp):
-                dt = dc_lum if ci == 0 else dc_chr
-                at = ac_lum if ci == 0 else ac_chr
-                block = padded[ci][byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8]
-                pred[ci] = _encode_block(bw, block, q, pred[ci], dt, at)
+                pred[ci] = _encode_zz_block(
+                    bw, zzs[ci][r_, c_], pred[ci], dc_tbls[ci], ac_tbls[ci]
+                )
     bw.flush()
     out += bw.out
-    out += b"\xff\xd9"  # EOI
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -958,32 +966,9 @@ def encode_progressive_jpeg(
     the coefficients IDENTICAL to the baseline encoder's, so decoded
     pixels must equal the baseline decode byte for byte (the test
     oracle)."""
-    if ncomp not in (1, 3):
-        raise JpegError("encode_progressive_jpeg supports 1 or 3 components")
-    if len(pixels) != width * height * ncomp:
-        raise JpegError("pixel buffer size mismatch")
+    _check_encode_args(pixels, width, height, ncomp, quant)
     zzs, by, bx = _quantized_zz_blocks(pixels, width, height, ncomp, quant)
-
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
-        ">HH", 1, 1
-    ) + b"\x00\x00"
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([quant] * 64)
-    out += b"\xff\xc2" + struct.pack(">H", 8 + 3 * ncomp) + b"\x08" + struct.pack(
-        ">HH", height, width
-    ) + bytes([ncomp])
-    for cid in range(1, ncomp + 1):
-        out += bytes([cid, 0x11, 0])
-
-    def _dht(tc, th, bits, huffval):
-        payload = bytes([(tc << 4) | th]) + bytes(bits[1:]) + bytes(huffval)
-        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
-
-    out += _dht(0, 0, *_STD_DC_LUM)
-    out += _dht(1, 0, *_STD_AC_LUM)
-    if ncomp == 3:
-        out += _dht(0, 1, *_STD_DC_CHR)
-        out += _dht(1, 1, *_STD_AC_CHR)
+    out = _jfif_headers(ncomp, width, height, quant, b"\xff\xc2")
 
     dc_tbls = [_build_encode_table(*(_STD_DC_LUM if c == 0 else _STD_DC_CHR)) for c in range(ncomp)]
     ac_tbls = [_build_encode_table(*(_STD_AC_LUM if c == 0 else _STD_AC_CHR)) for c in range(ncomp)]

@@ -297,12 +297,14 @@ def build_text_pdf(
             smask_clause = b" /SMask %d 0 R" % smask_num
         img_num = w.alloc()
         if image.get("filter") == "dct":
-            # DCTDecode arm: pixels carried as a baseline JPEG built by
-            # the engine's own encoder (near-lossless flat quant)
+            # DCTDecode arm: pixels carried as a JPEG built by the
+            # engine's own encoder (near-lossless flat quant);
+            # ``jpeg_bytes`` overrides the body (e.g. progressive
+            # fixtures)
             from .jpeg import encode_jpeg
 
             img_filter = b"/DCTDecode"
-            img_body = encode_jpeg(
+            img_body = image.get("jpeg_bytes") or encode_jpeg(
                 image["pixels"], image["width"], image["height"], 3
             )
         else:

@@ -98,6 +98,25 @@ def partition_metrics(extracted_ds):
     )
 
 
+def _input_fingerprint(path: str) -> str:
+    """Cheap content identity for an input path (total size + max
+    mtime over parquet files): regenerated input at the SAME path must
+    not silently reuse a stale staged layout."""
+    total = 0
+    mtime = 0.0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(root, f))
+                    total += st.st_size
+                    mtime = max(mtime, st.st_mtime)
+    elif os.path.exists(path):
+        st = os.stat(path)
+        total, mtime = st.st_size, st.st_mtime
+    return f"{total}:{int(mtime)}"
+
+
 def stage_pages(
     pages_path: str,
     staging_dir: str,
@@ -116,6 +135,7 @@ def stage_pages(
 
     grid = {
         "pages_path": os.path.abspath(pages_path),
+        "input_fingerprint": _input_fingerprint(pages_path),
         "num_partitions": num_partitions,
         "num_units": num_units,
     }

@@ -320,7 +320,7 @@ def test_decode_large_image_linear_time():
     t0 = time.monotonic()
     w, h, n, out = decode_jpeg(data)
     assert (w, h, n) == (192, 192, 1)
-    assert time.monotonic() - t0 < 2.0
+    assert time.monotonic() - t0 < 10.0  # was ~27 s when quadratic; noisy host needs slack
     err = np.abs(
         np.frombuffer(out, np.uint8).reshape(192, 192).astype(int) - px.astype(int)
     ).max()
@@ -415,32 +415,29 @@ def test_progressive_matches_baseline(w, h, ncomp, quant, dc_al, ac_al, bands):
 
 
 def test_pdf_with_progressive_dct_image():
-    """A DCTDecode stream that is PROGRESSIVE decodes through the PDF
-    image path (real-world corpora mix baseline and progressive)."""
+    """A PROGRESSIVE DCTDecode stream embedded in a real PDF decodes
+    through the full image path (extract_images incl. param checks and
+    pixel assembly) — real-world corpora mix baseline and progressive."""
     from pdf_parser_ray.pdfcore.document import PdfDocument
     from pdf_parser_ray.pdfcore.jpeg import encode_progressive_jpeg
-    from pdf_parser_ray.pdfcore.pdfbuild import build_image_pdf
-    import zlib as _z
+    from pdf_parser_ray.pdfcore.pdfbuild import build_text_pdf
 
     w, h = 10, 7
     pixels = bytes((13 * i) % 256 for i in range(w * h * 3))
-    jpg = encode_progressive_jpeg(pixels, w, h, 3)
-    # build_image_pdf flate-compresses; craft via build_text_pdf's dct
-    # arm equivalent: swap the baseline body for the progressive one
-    from pdf_parser_ray.pdfcore.pdfbuild import build_text_pdf
-
-    base_pdf = build_text_pdf(
-        b"x", image={"width": w, "height": h, "pixels": pixels, "filter": "dct"}
+    pdf = build_text_pdf(
+        b"prog text",
+        image={
+            "width": w,
+            "height": h,
+            "pixels": pixels,
+            "filter": "dct",
+            "jpeg_bytes": encode_progressive_jpeg(pixels, w, h, 3),
+        },
     )
-    from pdf_parser_ray.pdfcore.jpeg import encode_jpeg as _enc
-
-    baseline_jpg = _enc(pixels, w, h, 3)
-    assert baseline_jpg in base_pdf
-    # byte-splice is fragile (stream /Length differs); decode directly:
-    from pdf_parser_ray.pdfcore.filters import dct_decode
-
-    out = dct_decode(jpg)
-    got = np.frombuffer(out, np.uint8).astype(int)
+    doc = PdfDocument(pdf)
+    images = [i for page in doc.extract_images([1]) for i in page]
+    assert len(images) == 1 and images[0]["filter"] == "DCTDecode"
+    got = np.frombuffer(images[0]["rgb"], np.uint8).astype(int)
     exp = np.frombuffer(pixels, np.uint8).astype(int)
     assert np.abs(got - exp).max() <= 2
 
