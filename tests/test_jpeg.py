@@ -452,3 +452,69 @@ def test_decode_fuzz_only_jpeg_error(data):
             decode_jpeg(payload)
         except JpegError:
             pass
+
+
+def test_progressive_420_flat_color():
+    """Hand-built PROGRESSIVE 4:2:0 stream: interleaved DC first scan
+    (subsampled MCU order) + per-component AC scans over the
+    component's OWN block grid (1 block for chroma vs 4 for luma) —
+    pins the bw_c/bh_c vs MCU-grid distinction in the progressive
+    path."""
+    r0, g0, b0 = 200, 60, 130
+    y = 0.299 * r0 + 0.587 * g0 + 0.114 * b0
+    cb = -0.168736 * r0 - 0.331264 * g0 + 0.5 * b0 + 128.0
+    cr = 0.5 * r0 - 0.418688 * g0 - 0.081312 * b0 + 128.0
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xc2" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 16, 16)
+    out += bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    for tc, (bits, vals) in ((0, _STD_DC_LUM), (1, _STD_AC_LUM)):
+        payload = bytes([tc << 4]) + bytes(bits[1:]) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    dc_tbl = _build_encode_table(*_STD_DC_LUM)
+    ac_tbl = _build_encode_table(*_STD_AC_LUM)
+
+    # scan 1: DC first, interleaved (4 Y + 1 Cb + 1 Cr), Ah=0 Al=0
+    out += b"\xff\xda" + struct.pack(">H", 12) + bytes(
+        [3, 1, 0x00, 2, 0x00, 3, 0x00]
+    ) + bytes([0, 0, 0x00])
+    bw = _BitWriter()
+    pred = {"y": 0, "cb": 0, "cr": 0}
+
+    def put_dc(key, val):
+        dc = int(np.round((val - 128.0) * 8))
+        diff = dc - pred[key]
+        pred[key] = dc
+        size = 0 if diff == 0 else int(abs(diff)).bit_length()
+        c, ln = dc_tbl[size]
+        bw.write(c, ln)
+        if size:
+            bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+
+    for _ in range(4):
+        put_dc("y", y)
+    put_dc("cb", cb)
+    put_dc("cr", cr)
+    bw.flush()
+    out += bw.out
+
+    # scans 2-4: AC first per component (flat image -> EOB-only), over
+    # each component's OWN grid: 4 blocks for Y, 1 for Cb, 1 for Cr
+    for cid, nblocks in ((1, 4), (2, 1), (3, 1)):
+        out += b"\xff\xda" + struct.pack(">H", 8) + bytes(
+            [1, cid, 0x00]
+        ) + bytes([1, 63, 0x00])
+        bw = _BitWriter()
+        for _ in range(nblocks):
+            c, ln = ac_tbl[0x00]  # EOB0
+            bw.write(c, ln)
+        bw.flush()
+        out += bw.out
+
+    out += b"\xff\xd9"
+    w, h, n, px = decode_jpeg(bytes(out))
+    assert (w, h, n) == (16, 16, 3)
+    arr = np.frombuffer(px, np.uint8).reshape(16, 16, 3).astype(int)
+    assert np.abs(arr - np.array([r0, g0, b0])).max() <= 2
