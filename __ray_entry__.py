@@ -253,7 +253,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pages.map_batches(project, batch_format="pyarrow")
 
+    from pdf_parser_ray.pipelines.curation import curation_pipeline
+
     return {
+        # flagship composite: extract -> quality filter -> dedup
+        "curation_pipeline": curation_pipeline,
         # extraction family (synthetic Common-Crawl-style pages table)
         "route_counts": route_counts,
         "html_main_content": html_main_content,
@@ -402,6 +406,23 @@ WITH corpus AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # extraction arms + token-count gate + keep-min-per-distinct-
+        # text, restated end to end
+        "curation_pipeline": """
+            WITH ext AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 < 2
+            ),
+            tok AS (
+              SELECT doc_id, text,
+                     CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                          AS BIGINT) AS n_tokens
+              FROM ext
+            )
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+                   CAST(MIN(n_tokens) AS BIGINT) AS n_tokens
+            FROM tok WHERE n_tokens >= 30
+            GROUP BY text
+        """,
         "route_counts": """
             SELECT CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN 'html'
                    ELSE 'other' END AS kind,

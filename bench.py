@@ -29,6 +29,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPEAT = int(os.environ.get("GRAFT_REPEAT", "20"))
 
 BENCH_QUERIES = (
+    "curation_pipeline",
     "lineitem_agg",
     "events_hourly",
     "sessions_per_user",
