@@ -785,7 +785,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    'text/html' AS mime,
-                   CAST(length(html) AS BIGINT) AS payload_bytes,
+                   -- octet_length of the UTF-8 encoding: the engine
+                   -- reports BINARY byte length, and length(html)
+                   -- counts characters (diverges on non-ASCII text);
+                   -- sha256(VARCHAR) already hashes the UTF-8 bytes
+                   CAST(octet_length(encode(html)) AS BIGINT) AS payload_bytes,
                    sha256(html) AS sha256
             FROM page
         """,

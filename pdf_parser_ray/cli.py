@@ -84,9 +84,11 @@ def main(argv=None):
         written = []
         from .pdfcore.jpeg import encode_jpeg
 
-        for page_no, images in zip(pages, doc.extract_images(pages)):
+        # filenames enumerate the RESULT list (0-based), exactly like the
+        # reference CLI (src/main.rs:30-37): first requested page -> 0-*.jpg
+        for out_idx, images in enumerate(doc.extract_images(pages)):
             for idx, img in enumerate(images):
-                path = os.path.join(args.out, f"{page_no}-{idx}.jpg")
+                path = os.path.join(args.out, f"{out_idx}-{idx}.jpg")
                 with open(path, "wb") as f:
                     f.write(
                         encode_jpeg(img["rgb"], img["width"], img["height"], 3)

@@ -170,6 +170,14 @@ class MinHashStage:
             self.th.shingle_hashes(self.word.findall(t))
             for t in batch["text"].to_pylist()
         ]
+        # zero-shingle docs emit NO band rows: the all-0xFF sentinel
+        # signature would otherwise collide every token-less doc into
+        # one bucket (O(n^2) pairs) and report jaccard(empty,empty)=1
+        # "near-dups" for documents that share no content at all
+        nonempty = np.array([len(s) > 0 for s in shingles], dtype=bool)
+        if not nonempty.all():
+            ids = ids[nonempty]
+            shingles = [s for s in shingles if len(s)]
         sigs = self.hasher.signatures_batch(shingles)  # (k, n) one pass
         keys = self.hasher.band_keys_batch(sigs)       # (bands, n)
         flat = keys.reshape(-1)
@@ -478,10 +486,23 @@ def label_propagation_clusters(pairs_ds, max_rounds: int = 50):
         # sampler asserts (join and aggregate outputs can differ)
         return ds.map_batches(lambda t: t, batch_format="pyarrow")
 
+    def label_edges(t: pa.Table) -> pa.Table:
+        # (node -> label) as an extra propagation edge: joining it with
+        # labels yields label(label(node)) — POINTER DOUBLING, so the
+        # propagation distance doubles per round and convergence is
+        # O(log diameter) instead of O(diameter) (a 10^6-long chain
+        # converges in ~20 rounds, not 10^6)
+        return pa.table({"node": t["node"], "nbr": t["label"]})
+
+    converged = False
     prev_sum = _label_sum(labels)
     for _ in range(max_rounds):
-        # propagate: neighbor labels flow along edges, then min-reduce
-        prop = sym.join(
+        # propagate: neighbor labels flow along graph edges AND along
+        # the current node->label assignment, then min-reduce
+        round_edges = sym.union(
+            _as_arrow(labels.map_batches(label_edges, batch_format="pyarrow"))
+        )
+        prop = round_edges.join(
             labels,
             join_type="inner",
             num_partitions=_join_partitions(),
@@ -497,8 +518,17 @@ def label_propagation_clusters(pairs_ds, max_rounds: int = 50):
         )
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # an unconverged fixpoint would silently return WRONG cluster
+        # ids (label != component min); with pointer doubling this needs
+        # component diameter > 2^max_rounds, so reaching here means a
+        # genuine bug or an absurd max_rounds override
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds"
+        )
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["node"], "cluster_id": t["label"]})

@@ -236,8 +236,12 @@ def run_extract_job(
         # stale staging layout (stage_pages is idempotent per dir)
         import hashlib
 
+        # the input FINGERPRINT is part of the key: regenerated input at
+        # the same path must map to a fresh staging dir, not hard-fail
+        # against the stale one's grid marker
         key = hashlib.sha256(
-            f"{os.path.abspath(pages_path)}|{num_partitions}|{num_units}".encode()
+            f"{os.path.abspath(pages_path)}|{_input_fingerprint(pages_path)}"
+            f"|{num_partitions}|{num_units}".encode()
         ).hexdigest()[:10]
         staging_dir = out_dir.rstrip("/") + f"_staging_{key}"
     elif staging_dir == "":

@@ -219,8 +219,9 @@ def test_cli_extract_images(tmp_path):
     )
     result = json.loads(out.stdout.strip().splitlines()[-1])
     assert len(result["images_written"]) == 1
-    # {page}-{image}.jpg sink (reference src/main.rs:36-42 parity)
-    data = (tmp_path / "imgs" / "1-0.jpg").read_bytes()
+    # filenames enumerate the result list 0-based, exactly like the
+    # reference (src/main.rs:30-37): first requested page -> 0-0.jpg
+    data = (tmp_path / "imgs" / "0-0.jpg").read_bytes()
     assert data[:3] == b"\xff\xd8\xff"
     import numpy as np
 

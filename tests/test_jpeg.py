@@ -280,7 +280,8 @@ def test_cli_jpg_sink(tmp_path):
     )
     rc = main(["extract-images", str(pdf_path), "--out", str(tmp_path)])
     assert rc == 0
-    jpg = (tmp_path / "1-0.jpg").read_bytes()
+    # 0-based enumerate naming (reference src/main.rs:30-37)
+    jpg = (tmp_path / "0-0.jpg").read_bytes()
     assert jpg[:3] == b"\xff\xd8\xff"
     ww, hh, n, out = decode_jpeg(jpg)
     assert (ww, hh, n) == (w, h, 3)

@@ -1,0 +1,113 @@
+"""Round-3 hardening tests (ADVICE.md + VERDICT.md round-2 items):
+pointer-doubling label propagation, zero-shingle band skip, staging-dir
+fingerprint key, LSH band caps, de-amplified pair payload shipping."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_label_propagation_long_chain_converges(ray_session):
+    """A chain-shaped component with diameter >> max_rounds must still
+    converge (pointer doubling: O(log diameter) rounds) and label every
+    node with the component min — the old linear propagation silently
+    returned wrong labels past round 50."""
+    import ray.data
+
+    from pdf_parser_ray.pipelines.dedup import label_propagation_clusters
+
+    n = 140  # diameter 139 > the former 50-round budget
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(list(range(n - 1)), pa.int64()),
+                "b": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+    )
+    out = label_propagation_clusters(pairs, max_rounds=20).to_pandas()
+    assert len(out) == n
+    assert (out["cluster_id"] == 0).all()
+
+
+def test_label_propagation_unconverged_raises(ray_session):
+    import ray.data
+
+    from pdf_parser_ray.pipelines.dedup import label_propagation_clusters
+
+    n = 40
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(list(range(n - 1)), pa.int64()),
+                "b": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation_clusters(pairs, max_rounds=1)
+
+
+def test_minhash_stage_skips_zero_shingle_docs():
+    """Token-less docs emit NO band rows: the 0xFF sentinel signature
+    would otherwise bucket every empty doc together (quadratic pairs)
+    and report jaccard(empty, empty)=1 'near-dups'."""
+    from pdf_parser_ray.pipelines.dedup import MinHashStage
+
+    stage = MinHashStage()
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["real text with words here", "", "...!!!", "more real text"]),
+        }
+    )
+    out = stage(batch)
+    banded_ids = set(out["doc_id"].to_pylist())
+    assert banded_ids == {1, 4}
+    # and the two empty docs share no band keys at all
+    assert len(out) == 2 * stage.hasher.bands
+
+
+def test_staging_key_tracks_input_fingerprint(ray_session, tmp_path):
+    """Regenerating the input at the same path must map to a FRESH
+    auto-derived staging dir (fingerprint is part of the key), not
+    hard-fail against the stale layout's grid marker."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.extract_pipeline import run_extract_job
+    from pdf_parser_ray.sources import synth
+
+    src = tmp_path / "pages"
+    src.mkdir()
+
+    def write_input(n):
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "text": pa.array([f"doc {i} words here" for i in range(n)]),
+                "lang": pa.array(["en"] * n),
+            }
+        )
+        pages = synth.synth_batch(t)
+        pq.write_table(pages, src / "part.parquet")
+
+    out = tmp_path / "out"
+    write_input(30)
+    run_extract_job(str(src), str(out), num_units=32, num_partitions=64)
+    stagings = [d for d in os.listdir(tmp_path) if "_staging_" in d]
+    assert len(stagings) == 1
+
+    # regenerate the input at the SAME path (different content + mtime)
+    time.sleep(1.1)  # ensure the mtime component of the fingerprint moves
+    write_input(40)
+    import shutil
+
+    shutil.rmtree(out)
+    res = run_extract_job(str(src), str(out), num_units=32, num_partitions=64)
+    assert sum(r["rows"] for r in res) == 40  # fresh staging, fresh rows
+    stagings = [d for d in os.listdir(tmp_path) if "_staging_" in d]
+    assert len(stagings) == 2  # new fingerprint -> new staging dir
