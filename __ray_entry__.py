@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": similarity.embedding_dup_pairs,
         "embedding_dup_pairs_lsh": similarity.lsh_bucketed_dup_pairs,
         "ann_topk": similarity.ann_topk,
+        "ann_topk_ivf": similarity.ann_topk_ivf,
         # multimodal / images
         "media_meta": multimodal.media_meta,                # rows-only (pdf payload bytes not SQL-restatable)
         "media_meta_html": media_meta_html,
@@ -792,6 +793,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(html)) AS BIGINT) AS payload_bytes,
                    sha256(html) AS sha256
             FROM page
+        """,
+        # IVF variant at nprobe=all is EXHAUSTIVE over the inverted
+        # lists, so the brute-force SQL is its exact oracle too (the
+        # nprobe < n_centroids pruning knob is exercised in pytest)
+        "ann_topk_ivf": """
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CAST(row_number() OVER (
+                        PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]),
+                            CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id) AS BIGINT) AS rank
+              FROM embeddings q, embeddings c
+              WHERE q.vec_id < 8 AND c.vec_id >= 8
+            ) WHERE rank <= 5
         """,
         "ann_topk": """
             SELECT query_id, neighbor_id, rank FROM (
