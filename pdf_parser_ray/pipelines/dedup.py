@@ -196,16 +196,46 @@ class MinHashStage:
         )
 
 
+# Pair generation inside one band is O(members^2): a degenerate band
+# (boilerplate/near-empty docs all hashing to one key) would otherwise
+# explode quadratically — the classic LSH skew failure at corpus scale.
+# Bands over the cap are SKIPPED (the standard production guard: such
+# bands are boilerplate, and every true near-dup pair still has ~15
+# other bands to surface through) and the drop is logged.
+MAX_BAND_MEMBERS = 256
+
+
+def _log_band_drops(label: str, dropped_bands: int, dropped_docs: int):
+    if dropped_bands:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: skipped %d degenerate band(s) with > %d members "
+            "(%d member rows dropped)",
+            label,
+            dropped_bands,
+            MAX_BAND_MEMBERS,
+            dropped_docs,
+        )
+
+
 def _bucket_candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """All within-band pairs for every band in one shuffle bucket."""
+    """All within-band pairs for every band in one shuffle bucket,
+    with the degenerate-band cap."""
     a_out: list[int] = []
     b_out: list[int] = []
+    dropped_bands = dropped_docs = 0
     for _, band in g.groupby("band_key"):
         ids = sorted(set(band["doc_id"].tolist()))
+        if len(ids) > MAX_BAND_MEMBERS:
+            dropped_bands += 1
+            dropped_docs += len(ids)
+            continue
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 a_out.append(ids[i])
                 b_out.append(ids[j])
+    _log_band_drops("minhash-lsh", dropped_bands, dropped_docs)
     return pd.DataFrame({"a": a_out, "b": b_out}).drop_duplicates()
 
 
@@ -218,16 +248,20 @@ def _mod_bucket(col, n: int):
 
 
 def _cogroup_pair_payloads(uniq_pairs, corpus_payloads, n_buckets: int = 64):
-    """Distributed reduce-side semi-join: co-shuffle candidate pair
-    SIDES with their payloads by doc_id bucket, emitting one
-    ``(a, b, doc_id, payload, pair_bucket)`` row per side.
+    """Distributed reduce-side semi-join co-locating each candidate
+    pair with BOTH payloads, without per-pair payload amplification.
 
     ``corpus_payloads`` is a Dataset of (doc_id, payload: binary).
-    One sort-shuffle over corpus + sides with 64-way coarsened buckets
-    — measured ~2.5x faster than chaining two hash-join operators in
-    this Ray version (no long-lived join aggregator actor pools), with
-    identical shuffle volume (corpus payload once + tiny pair rows).
-    Nothing ever materializes on the driver."""
+    Stage 1 co-shuffles pair sides + payloads by ``doc_id % n_buckets``;
+    the group reduce emits, per pair_bucket = f(a, b):
+    - one PAIR row (a, b) per candidate pair (from its a-side only)
+    - one PAYLOAD row (doc_id, payload) per DISTINCT (doc, pair_bucket)
+      — a hub document in P pairs ships at most min(P, n_buckets)
+      payload copies into the verify shuffle instead of P (dup-heavy
+      corpora amplify exactly where dedup matters most).
+    Stage 2 (the caller) groups by pair_bucket: each group sees every
+    pair next to the payloads it needs. Nothing materializes on the
+    driver."""
 
     def explode(t: pa.Table) -> pa.Table:
         a = t["a"].combine_chunks()
@@ -267,19 +301,66 @@ def _cogroup_pair_payloads(uniq_pairs, corpus_payloads, n_buckets: int = 64):
             zip(g.loc[cmask, "doc_id"].astype(int), g.loc[cmask, "payload"])
         )
         pr = g[~cmask]
-        out_a = pr["a"].astype("int64").to_numpy()
-        out_b = pr["b"].astype("int64").to_numpy()
+        side_a = pr["a"].astype("int64").to_numpy()
+        side_b = pr["b"].astype("int64").to_numpy()
+        side_doc = pr["doc_id"].astype("int64").to_numpy()
+        pair_bucket = (side_a * 1_000_003 + side_b) % n_buckets
+        # pair rows: from the a-side only -> exactly once per pair
+        amask = side_doc == side_a
+        # payload rows: once per DISTINCT (doc, pair_bucket)
+        seen = pd.DataFrame(
+            {"doc_id": side_doc, "pair_bucket": pair_bucket}
+        ).drop_duplicates()
+        n_pairs, n_pay = int(amask.sum()), len(seen)
         return pd.DataFrame(
             {
-                "a": out_a,
-                "b": out_b,
-                "doc_id": pr["doc_id"].astype("int64").to_numpy(),
-                "payload": [payloads[int(d)] for d in pr["doc_id"]],
-                "pair_bucket": (out_a * 1_000_003 + out_b) % n_buckets,
+                "pair_bucket": np.concatenate(
+                    [pair_bucket[amask], seen["pair_bucket"].to_numpy()]
+                ),
+                "a": np.concatenate(
+                    [side_a[amask], np.full(n_pay, -1, dtype=np.int64)]
+                ),
+                "b": np.concatenate(
+                    [side_b[amask], np.full(n_pay, -1, dtype=np.int64)]
+                ),
+                "doc_id": np.concatenate(
+                    [np.full(n_pairs, -1, dtype=np.int64), seen["doc_id"].to_numpy()]
+                ),
+                "payload": [None] * n_pairs
+                + [payloads[int(d)] for d in seen["doc_id"]],
             }
         )
 
     return unioned.groupby("bucket").map_groups(attach, batch_format="pandas")
+
+
+def _verify_pairs(sided, check_fn):
+    """Stage 2 of the co-grouped verify: per pair_bucket group, build
+    the local doc_id -> payload dict once and run ``check_fn(a_payload,
+    b_payload) -> bool`` over the group's pair rows."""
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        pmask = g["doc_id"] >= 0
+        payloads = dict(
+            zip(g.loc[pmask, "doc_id"].astype(int), g.loc[pmask, "payload"])
+        )
+        out_a, out_b = [], []
+        pr = g[~pmask]
+        for a, b in zip(pr["a"].astype(int), pr["b"].astype(int)):
+            pa_, pb_ = payloads.get(a), payloads.get(b)
+            if pa_ is None or pb_ is None:
+                continue  # defensive: a pair without both payloads
+            if check_fn(a, pa_, b, pb_):
+                out_a.append(a)
+                out_b.append(b)
+        return pd.DataFrame(
+            {
+                "a": np.array(out_a, dtype=np.int64),
+                "b": np.array(out_b, dtype=np.int64),
+            }
+        )
+
+    return sided.groupby("pair_bucket").map_groups(verify, batch_format="pandas")
 
 
 def _join_partitions(requested: int | None = None) -> int:
@@ -300,14 +381,21 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5, n_buckets: int = 64):
 
     Fully distributed shape (no driver-side corpus materialization
     anywhere): banded LSH -> bucketed candidate pair generation ->
-    native dedup of the candidate set -> co-shuffle each pair side
-    with its text by doc_id bucket (reduce-side semi-join) -> bucketed
-    exact-Jaccard verify where each pair's two shingle sets meet
-    (shingles computed once per doc per bucket, never re-shipped).
-    ``n_buckets`` scales with cluster size at fleet scale."""
+    native dedup of the candidate set -> co-shuffle each pair with its
+    two texts by doc_id bucket (reduce-side semi-join, payloads shipped
+    once per (doc, pair_bucket), not once per pair) -> bucketed
+    exact-Jaccard verify where each pair's two shingle sets meet.
+    ``n_buckets`` scales with cluster size at fleet scale.
+
+    The corpus is scanned ONCE: ``materialize()`` pins the mutated
+    corpus blocks in the distributed object store (spill-backed) so the
+    banding pass and the payload pass share them instead of re-reading
+    + re-synthesizing the input. At fleet scale, stage to partitioned
+    parquet instead (see extract_pipeline.stage_pages) if the corpus
+    exceeds aggregate object-store + spill capacity."""
     from ray.data.aggregate import Count
 
-    corpus = dup_corpus(sf_dir)
+    corpus = dup_corpus(sf_dir).materialize()
     banded = corpus.map_batches(
         MinHashStage, batch_format="pyarrow", concurrency=(1, 8)
     )
@@ -335,41 +423,26 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5, n_buckets: int = 64):
 
     sided = _cogroup_pair_payloads(
         uniq,
-        dup_corpus(sf_dir).map_batches(text_payloads, batch_format="pyarrow"),
+        corpus.map_batches(text_payloads, batch_format="pyarrow"),
         n_buckets,
     )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        word = re.compile(TOKEN_RE)
-        th = TokenHasher()
-        cache: dict[int, np.ndarray] = {}
+    word = re.compile(TOKEN_RE)
+    th = TokenHasher()
+    cache: dict[int, np.ndarray] = {}
 
-        def sh(doc_id: int, payload: bytes) -> np.ndarray:
-            h = cache.get(doc_id)
-            if h is None:
-                h = np.sort(
-                    th.shingle_hashes(word.findall(payload.decode("utf-8")))
-                )
-                cache[doc_id] = h
-            return h
+    def sh(doc_id: int, payload: bytes) -> np.ndarray:
+        # shingles computed once per doc per pair_bucket group
+        h = cache.get(doc_id)
+        if h is None:
+            h = np.sort(th.shingle_hashes(word.findall(payload.decode("utf-8"))))
+            cache[doc_id] = h
+        return h
 
-        out_a, out_b = [], []
-        for (a, b), rows in g.groupby(["a", "b"]):
-            if len(rows) != 2:
-                continue  # defensive: a side without its doc payload
-            h1 = sh(int(rows["doc_id"].iloc[0]), rows["payload"].iloc[0])
-            h2 = sh(int(rows["doc_id"].iloc[1]), rows["payload"].iloc[1])
-            if jaccard(h1, h2) >= threshold:
-                out_a.append(int(a))
-                out_b.append(int(b))
-        return pd.DataFrame(
-            {
-                "a": np.array(out_a, dtype=np.int64),
-                "b": np.array(out_b, dtype=np.int64),
-            }
-        )
+    def check(a: int, pa_: bytes, b: int, pb_: bytes) -> bool:
+        return jaccard(sh(a, pa_), sh(b, pb_)) >= threshold
 
-    return sided.groupby("pair_bucket").map_groups(verify, batch_format="pandas")
+    return _verify_pairs(sided, check)
 
 
 def url_dedup(sf_dir: str):
@@ -614,8 +687,13 @@ def simhash_fingerprints(sf_dir: str, max_hamming: int = 6):
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out = [], []
+        dropped_bands = dropped_docs = 0
         for _, band in g.groupby("band"):
             rows = sorted(set(zip(band["doc_id"].tolist(), band["simhash"].tolist())))
+            if len(rows) > MAX_BAND_MEMBERS:
+                dropped_bands += 1
+                dropped_docs += len(rows)
+                continue
             for i in range(len(rows)):
                 for j in range(i + 1, len(rows)):
                     if (
@@ -626,6 +704,7 @@ def simhash_fingerprints(sf_dir: str, max_hamming: int = 6):
                     ):
                         a_out.append(rows[i][0])
                         b_out.append(rows[j][0])
+        _log_band_drops("simhash", dropped_bands, dropped_docs)
         return pd.DataFrame({"a": a_out, "b": b_out}).drop_duplicates()
 
     from ray.data.aggregate import Count

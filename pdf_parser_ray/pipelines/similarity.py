@@ -419,26 +419,23 @@ class HyperplaneBucketizer:
         )
 
 
-def _packed_corpus(sf_dir: str):
-    """(vec_id, emb: binary) — the float64 vector bytes packed into a
-    binary column (Arrow shuffles/joins reject list<> payloads);
+def _pack_payloads(base):
+    """(doc_id, payload: binary) — the float64 vector bytes packed into
+    a binary column (Arrow shuffles/joins reject list<> payloads);
     frombuffer unpacks zero-copy at the verify."""
-    import ray.data
 
     def pack(batch: pa.Table) -> pa.Table:
         m = _mat(batch).astype(np.float64)
         return pa.table(
             {
-                "vec_id": batch["vec_id"],
-                "emb": pa.array([row.tobytes() for row in m], type=pa.binary()),
+                "doc_id": batch["vec_id"],
+                "payload": pa.array(
+                    [row.tobytes() for row in m], type=pa.binary()
+                ),
             }
         )
 
-    return (
-        ray.data.read_parquet(_p(sf_dir))
-        .map_batches(with_noisy_copies, batch_format="pyarrow")
-        .map_batches(pack, batch_format="pyarrow")
-    )
+    return base.map_batches(pack, batch_format="pyarrow")
 
 
 def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int = 8,
@@ -449,24 +446,40 @@ def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int 
     vectors -> cosine verify on co-located rows. Recall is probabilistic in general but a
     deterministic function of the input with the fixed seed; on the
     planted corpus (cos ~0.9999) it recovers the exact variant's pair
-    set, which is the oracle."""
+    set, which is the oracle.
+
+    Single scan: the noisy-copy corpus is materialized once (object
+    store, spill-backed) and shared by the bucketing and payload
+    passes."""
     import ray.data
     from ray.data.aggregate import Count
 
-    from .dedup import _cogroup_pair_payloads
+    from .dedup import _cogroup_pair_payloads, _verify_pairs
 
-    base = ray.data.read_parquet(_p(sf_dir)).map_batches(
-        with_noisy_copies, batch_format="pyarrow"
+    base = (
+        ray.data.read_parquet(_p(sf_dir))
+        .map_batches(with_noisy_copies, batch_format="pyarrow")
+        .materialize()
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import MAX_BAND_MEMBERS, _log_band_drops
+
         a_out, b_out = [], []
+        dropped_bands = dropped_docs = 0
         for _, grp in g.groupby("bucket"):
             ids = np.unique(grp["vec_id"].to_numpy())
+            if len(ids) > MAX_BAND_MEMBERS:
+                # degenerate LSH bucket (e.g. a mass of zero/identical
+                # vectors): skip, don't go quadratic — see dedup.py
+                dropped_bands += 1
+                dropped_docs += len(ids)
+                continue
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     a_out.append(int(ids[i]))
                     b_out.append(int(ids[j]))
+        _log_band_drops("embedding-lsh", dropped_bands, dropped_docs)
         return pd.DataFrame({"a": a_out, "b": b_out}).drop_duplicates()
 
     cands = (
@@ -487,32 +500,11 @@ def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int 
         .materialize()
     )
 
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["vec_id"], "payload": t["emb"]})
+    sided = _cogroup_pair_payloads(uniq, _pack_payloads(base))
 
-    sided = _cogroup_pair_payloads(
-        uniq, _packed_corpus(sf_dir).map_batches(rename, batch_format="pyarrow")
-    )
+    def check(a: int, pa_: bytes, b: int, pb_: bytes) -> bool:
+        va = _normalize(np.frombuffer(pa_, dtype=np.float64)[None, :])[0]
+        vb = _normalize(np.frombuffer(pb_, dtype=np.float64)[None, :])[0]
+        return float(va @ vb) >= threshold
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for (a, b), rows in g.groupby(["a", "b"]):
-            if len(rows) != 2:
-                continue
-            va = _normalize(
-                np.frombuffer(rows["payload"].iloc[0], dtype=np.float64)[None, :]
-            )[0]
-            vb = _normalize(
-                np.frombuffer(rows["payload"].iloc[1], dtype=np.float64)[None, :]
-            )[0]
-            if float(va @ vb) >= threshold:
-                out_a.append(int(a))
-                out_b.append(int(b))
-        return pd.DataFrame(
-            {
-                "a": np.array(out_a, dtype=np.int64),
-                "b": np.array(out_b, dtype=np.int64),
-            }
-        )
-
-    return sided.groupby("pair_bucket").map_groups(verify, batch_format="pandas")
+    return _verify_pairs(sided, check)

@@ -164,3 +164,85 @@ def test_ann_topk_ivf_probe_recall(ray_session):
         / exact.shape[0]
     )
     assert recall >= 0.5  # 4/16 lists probed: sanity floor, not a tuning bar
+
+
+def test_band_cap_bounds_degenerate_corpus():
+    """10k identical short docs collapse into ONE band per LSH table —
+    uncapped that is ~50M pairs per band; the cap must skip those bands
+    and return quickly, while small bands still pair normally."""
+    import time
+
+    from pdf_parser_ray.pipelines.dedup import (
+        MAX_BAND_MEMBERS,
+        MinHashStage,
+        _bucket_candidate_pairs,
+    )
+
+    n = 10_000
+    stage = MinHashStage()
+    batch = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(["identical short boilerplate text row"] * n),
+        }
+    )
+    banded = stage(batch).to_pandas()
+    t0 = time.monotonic()
+    pairs = _bucket_candidate_pairs(banded)
+    assert time.monotonic() - t0 < 5.0  # uncapped would take minutes
+    assert len(pairs) == 0  # every band exceeded the cap and was skipped
+
+    # a band under the cap still yields its pairs
+    small = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["identical short boilerplate text row"] * 2),
+        }
+    )
+    small_pairs = _bucket_candidate_pairs(stage(small).to_pandas())
+    assert list(small_pairs.itertuples(index=False)) == [(1, 2)]
+    assert MAX_BAND_MEMBERS >= 64  # sanity: cap far above real dup-cluster sizes
+
+
+def test_cogroup_ships_hub_payload_once_per_bucket(ray_session):
+    """A hub document in P candidate pairs must ship at most
+    min(P, n_buckets) payload copies into the verify shuffle (formerly
+    P — mirror-site corpora amplified exactly where dedup matters)."""
+    import ray.data
+
+    from pdf_parser_ray.pipelines.dedup import (
+        _cogroup_pair_payloads,
+        _verify_pairs,
+    )
+
+    hub_pairs = 100
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([0] * hub_pairs, pa.int64()),
+                "b": pa.array(list(range(1, hub_pairs + 1)), pa.int64()),
+            }
+        )
+    )
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(hub_pairs + 1)), pa.int64()),
+                "payload": pa.array(
+                    [f"payload {i}".encode() for i in range(hub_pairs + 1)],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    sided = _cogroup_pair_payloads(pairs, corpus, n_buckets=16).to_pandas()
+    pair_rows = sided[sided["doc_id"] < 0]
+    hub_payload_rows = sided[(sided["doc_id"] == 0) & (sided["a"] < 0)]
+    assert len(pair_rows) == hub_pairs  # each pair exactly once
+    assert len(hub_payload_rows) <= 16  # once per pair_bucket, not per pair
+
+    # end-to-end: verify still sees both payloads for every pair
+    sided_ds = _cogroup_pair_payloads(pairs, corpus, n_buckets=16)
+    out = _verify_pairs(sided_ds, lambda a, pa_, b, pb_: True).to_pandas()
+    assert len(out) == hub_pairs
+    assert sorted(out["b"]) == list(range(1, hub_pairs + 1))
