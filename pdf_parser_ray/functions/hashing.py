@@ -77,6 +77,38 @@ def crc32_of_strings(arr) -> np.ndarray:
     return crc
 
 
+def blake2b128_of_strings(arr) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content keys as two int64 arrays: blake2b-16 of each
+    row's bytes, hashed from ZERO-COPY buffer views of a pyarrow
+    string/binary column — no per-row Python string materialization,
+    no encode() round-trip, outputs built as numpy arrays once.
+    Null/empty rows hash as empty bytes."""
+    import hashlib
+
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    h1 = np.empty(n, dtype=np.int64)
+    h2 = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return h1, h2
+    bufs = arr.buffers()
+    wide = pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+    off_dtype = np.int64 if wide else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1]
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    blake = hashlib.blake2b
+    from_bytes = int.from_bytes
+    half = 1 << 63
+    for i in range(n):
+        d = blake(data[offsets[i] : offsets[i + 1]], digest_size=16).digest()
+        h1[i] = from_bytes(d[:8], "big") - half
+        h2[i] = from_bytes(d[8:], "big") - half
+    return h1, h2
+
+
 def shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
     """uint64 hashes of the n-gram shingle set of a token list
     (reference implementation; TokenHasher is the fast path)."""

@@ -16,10 +16,10 @@ the token-count filter and the keep-min-doc_id-per-distinct-text rule.
 
 from __future__ import annotations
 
-import hashlib
-
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..functions.hashing import blake2b128_of_strings
 
 TOKEN_RE = r"[A-Za-z0-9]+"
 DEFAULT_MIN_TOKENS = 30
@@ -46,12 +46,9 @@ def curation_pipeline(sf_dir: str, min_tokens: int = DEFAULT_MIN_TOKENS):
             type=pa.int64(),
         )
         # 128-bit content key as two int64 columns (64 bits would
-        # birthday-collide around 4e9 rows; see dedup.exact_dedup_text)
-        h1, h2 = [], []
-        for x in t["text"].to_pylist():
-            d = hashlib.blake2b(bytes(x), digest_size=16).digest()
-            h1.append(int.from_bytes(d[:8], "big") - (1 << 63))
-            h2.append(int.from_bytes(d[8:], "big") - (1 << 63))
+        # birthday-collide around 4e9 rows; see dedup.exact_dedup_text),
+        # hashed from zero-copy buffer views — no pylist round-trip
+        h1, h2 = blake2b128_of_strings(t["text"])
         out = pa.table(
             {
                 "doc_id": doc_ids,

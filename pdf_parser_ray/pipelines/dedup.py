@@ -100,18 +100,15 @@ def exact_dedup_text(sf_dir: str):
     per-distinct-key Python (a ``map_groups`` here would spawn ~one
     pandas frame per distinct text: 10^12 tiny frames at fleet scale).
     Only (h1, h2, doc_id) rows ride the shuffle, never the text."""
-    import hashlib
-
     from ray.data.aggregate import Min
+
+    from ..functions.hashing import blake2b128_of_strings
 
     ds = dup_corpus(sf_dir)
 
     def add_hash(t: pa.Table) -> pa.Table:
-        h1, h2 = [], []
-        for x in t["text"].to_pylist():
-            d = hashlib.blake2b(x.encode(), digest_size=16).digest()
-            h1.append(int.from_bytes(d[:8], "big") - (1 << 63))
-            h2.append(int.from_bytes(d[8:], "big") - (1 << 63))
+        # zero-copy buffer-view hashing (no pylist/encode round-trip)
+        h1, h2 = blake2b128_of_strings(t["text"])
         return pa.table(
             {
                 "doc_id": t["doc_id"],

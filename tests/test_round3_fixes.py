@@ -246,3 +246,34 @@ def test_cogroup_ships_hub_payload_once_per_bucket(ray_session):
     out = _verify_pairs(sided_ds, lambda a, pa_, b, pb_: True).to_pandas()
     assert len(out) == hub_pairs
     assert sorted(out["b"]) == list(range(1, hub_pairs + 1))
+
+
+def test_blake2b128_buffer_hash_matches_per_row():
+    """Zero-copy buffer-view hashing == per-row encode()+blake2b, for
+    plain/large string and binary columns incl. empty and sliced."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_parser_ray.functions.hashing import blake2b128_of_strings
+
+    def expected(vals):
+        h1, h2 = [], []
+        for v in vals:
+            b = v.encode() if isinstance(v, str) else bytes(v or b"")
+            d = hashlib.blake2b(b, digest_size=16).digest()
+            h1.append(int.from_bytes(d[:8], "big") - (1 << 63))
+            h2.append(int.from_bytes(d[8:], "big") - (1 << 63))
+        return h1, h2
+
+    for typ in (pa.string(), pa.large_string()):
+        vals = ["", "hello", "héllo wörld", "x" * 1000]
+        arr = pa.array(vals, type=typ)
+        g1, g2 = blake2b128_of_strings(arr.slice(1, 2))
+        e1, e2 = expected(vals[1:3])
+        assert list(g1) == e1 and list(g2) == e2
+    bvals = [b"", b"\x00\xff", None]
+    g1, g2 = blake2b128_of_strings(pa.array(bvals, type=pa.large_binary()))
+    e1, e2 = expected(bvals)
+    assert list(g1) == e1 and list(g2) == e2
