@@ -203,6 +203,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["partition_id", "rows", "ok_rows", "text_bytes"]
         )
 
+    def media_meta_all(sf_dir: str):
+        """Binary-column metadata over EVERY arm (pdf/html/junk/real
+        GIF/PNG), keyed by doc_id for the oracle join. mime, decoded
+        and width/height are restated as pure SQL formulas; size and
+        sha256 come from the synth-time expected side table (the PDF/
+        PNG/GIF bytes themselves are not restatable in SQL)."""
+        from pdf_parser_ray.pipelines.multimodal import media_meta
+
+        ds = media_meta(sf_dir)
+
+        def project(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": _doc_id_col(t["url"].to_pylist()),
+                    "mime": t["mime"],
+                    "payload_bytes": t["payload_bytes"],
+                    "sha256": t["sha256"],
+                    "decoded": t["decoded"],
+                    "width": t["width"],
+                    "height": t["height"],
+                }
+            )
+
+        return ds.map_batches(project, batch_format="pyarrow")
+
     def media_meta_html(sf_dir: str):
         """Binary-column metadata for the html arm — mime sniff, size
         and sha256 are all independently restatable in SQL (the oracle
@@ -298,7 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk,
         "ann_topk_ivf": similarity.ann_topk_ivf,
         # multimodal / images
-        "media_meta": multimodal.media_meta,                # rows-only (pdf payload bytes not SQL-restatable)
+        "media_meta": media_meta_all,
         "media_meta_html": media_meta_html,
         "pdf_image_stats": multimodal.pdf_image_stats,
         # set ops / diagnostics
@@ -403,6 +428,28 @@ WITH corpus AS (
   FROM embeddings WHERE vec_id % 10 = 0
 )
 """
+
+
+def _expected_meta_glob() -> str:
+    """Path glob of the synth-time expected-media side table for the
+    sf the oracles will run against (the driver compares at sf0.01;
+    scripts/check_oracle.py overrides via GRAFT_ORACLE_SF_DIR). Builds
+    the pages cache (idempotent, /tmp-cached) so the side table exists
+    even if the oracle runs before any query callable."""
+    import os
+
+    from pdf_parser_ray.sources.synth import (
+        build_pages_table,
+        meta_table_dir,
+        pages_cache_dir,
+    )
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        pages = build_pages_table(sf_dir)
+    except Exception:
+        pages = pages_cache_dir(sf_dir)  # already built, or will fail loudly in SQL
+    return os.path.join(meta_table_dir(pages), "*.parquet")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -757,6 +804,37 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE 0 END) AS BIGINT) AS text_bytes
             FROM c JOIN documents d ON d.doc_id = c.doc_id
             GROUP BY 1
+        """,
+        # full-corpus binary metadata: mime, decoded and width/height
+        # are pure SQL formulas over doc_id; payload_bytes and sha256
+        # join against the synth-time expected side table (PDF and
+        # compressed PNG/GIF bytes are not restatable in SQL). The
+        # formulas mirror sources/synth.py make_*_payload + gif_dims/
+        # png_dims and pipelines/multimodal.py decode semantics.
+        "media_meta": f"""
+            WITH meta AS (
+              SELECT doc_id, payload_bytes, sha256
+              FROM read_parquet('{_expected_meta_glob()}')
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 3 = 0 THEN 'application/pdf'
+                        WHEN d.doc_id % 3 = 1 THEN 'text/html'
+                        WHEN (d.doc_id // 3) % 4 = 0 THEN 'application/octet-stream'
+                        WHEN (d.doc_id // 3) % 4 = 1 THEN 'image/gif'
+                        WHEN (d.doc_id // 3) % 4 = 2 THEN 'image/png'
+                        ELSE 'application/zip' END AS mime,
+                   m.payload_bytes,
+                   m.sha256,
+                   (d.doc_id % 3 = 2 AND (d.doc_id // 3) % 4 IN (1, 2)) AS decoded,
+                   CAST(CASE WHEN d.doc_id % 3 <> 2 THEN 0
+                             WHEN (d.doc_id // 3) % 4 = 1 THEN 2 + d.doc_id % 5
+                             WHEN (d.doc_id // 3) % 4 = 2 THEN 2 + d.doc_id % 4
+                             ELSE 0 END AS INTEGER) AS width,
+                   CAST(CASE WHEN d.doc_id % 3 <> 2 THEN 0
+                             WHEN (d.doc_id // 3) % 4 = 1 THEN 2 + d.doc_id % 3
+                             WHEN (d.doc_id // 3) % 4 = 2 THEN 2 + d.doc_id % 6
+                             ELSE 0 END AS INTEGER) AS height
+            FROM documents d JOIN meta m USING (doc_id)
         """,
         # the exact page bytes rebuilt in SQL (escape -> entity-encode
         # on odd ids -> boilerplate template), then hashed with

@@ -1,0 +1,208 @@
+"""Minimal GIF codec (spec-derived: GIF89a specification), pure Python.
+
+Closes the multimodal decode gap for ``image/gif`` payloads. Scope:
+single-image, non-interlaced GIFs with a global (or local) color
+table; extensions are skipped. GIF's LZW is a DIFFERENT dialect from
+the PDF LZWDecode in ``filters.py`` — variable code width packed
+LSB-first with in-stream Clear/End codes — so it lives here.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+class GifError(Exception):
+    pass
+
+
+def _lzw_encode_gif(data: bytes, min_code_size: int) -> bytes:
+    """GIF-dialect LZW: codes packed LSB-first, Clear emitted up front
+    and whenever the table fills (4096)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    width = min_code_size + 1
+
+    def emit(code: int):
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int, max_out: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        bitbuf |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = bitbuf & ((1 << width) - 1)
+            bitbuf >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise GifError(f"bad first code {code}")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise GifError(f"code {code} beyond table {len(table)}")
+            out += entry
+            if len(out) > max_out:
+                raise GifError("pixel output exceeds image size")
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    raise GifError("missing end-of-information code")
+
+
+def _blocks(data: bytes) -> bytes:
+    """Pack bytes into <=255-byte sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(indices: bytes, width: int, height: int, palette: bytes) -> bytes:
+    """Single-frame GIF89a with a 256-entry global color table.
+    ``indices`` are palette indices (one byte per pixel); ``palette``
+    is 768 bytes of RGB triples."""
+    if len(palette) != 768:
+        raise GifError("palette must be 256 RGB entries (768 bytes)")
+    if len(indices) != width * height:
+        raise GifError(f"index buffer {len(indices)} != {width}x{height}")
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: GCT flag, 8-bit color, GCT size 256
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out += palette
+    # image descriptor, no local color table, no interlace
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(8)  # LZW minimum code size
+    out += _blocks(_lzw_encode_gif(indices, 8))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> tuple[int, int, bytes, bytes]:
+    """-> (width, height, palette(768 or local size*3), index bytes)
+    of the FIRST image. Raises GifError on corrupt/unsupported data."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise GifError("bad signature")
+    if len(data) < 13:
+        raise GifError("truncated header")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    palette = b""
+    if flags & 0x80:
+        size = 3 * (2 << (flags & 0x07))
+        palette = data[pos : pos + size]
+        if len(palette) != size:
+            raise GifError("truncated global color table")
+        pos += size
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise GifError(f"unexpected block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise GifError("truncated image descriptor")
+        _lx, _ty, width, height, iflags = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if iflags & 0x40:
+            raise GifError("interlaced GIFs unsupported")
+        if iflags & 0x80:  # local color table wins
+            size = 3 * (2 << (iflags & 0x07))
+            palette = data[pos : pos + size]
+            if len(palette) != size:
+                raise GifError("truncated local color table")
+            pos += size
+        if pos >= len(data):
+            raise GifError("missing LZW code size")
+        min_code_size = data[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise GifError(f"bad LZW min code size {min_code_size}")
+        lzw = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            n = data[pos]
+            chunk = data[pos + 1 : pos + 1 + n]
+            if len(chunk) != n:
+                raise GifError("truncated image sub-block")
+            lzw += chunk
+            pos += 1 + n
+        if pos >= len(data):
+            raise GifError("missing sub-block terminator")
+        pos += 1
+        if not palette:
+            raise GifError("no color table")
+        indices = _lzw_decode_gif(bytes(lzw), min_code_size, width * height)
+        if len(indices) != width * height:
+            raise GifError(
+                f"decoded {len(indices)} pixels for {width}x{height}"
+            )
+        return width, height, palette, indices
+    raise GifError("no image block")

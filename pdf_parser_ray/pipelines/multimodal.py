@@ -40,12 +40,13 @@ def detect_mime(payload: bytes) -> str:
 
 
 def decode_stub(payload: bytes, mime: str) -> dict:
-    """Decoder step: REAL for image/jpeg (the engine's own baseline
-    codec, pdfcore/jpeg.py); a deterministic STUB for the remaining
-    media types (no GIF/PNG/audio libraries in this container — a real
-    deployment swaps PIL/libvips/ffmpeg into the same actor signature;
+    """Decoder step: REAL for image/jpeg, image/png and image/gif (the
+    engine's own codecs — pdfcore/jpeg.py, png.py, gif.py; no image
+    libraries exist in this container); a deterministic STUB for audio
+    (a real deployment swaps ffmpeg into the same actor signature;
     batching, schema and the error channel are already
-    production-shaped)."""
+    production-shaped). Raises NotImplementedError (the stage's
+    "not decodable" channel) on other mimes or corrupt image data."""
     if mime == "image/jpeg":
         from ..pdfcore.jpeg import JpegError, decode_jpeg
 
@@ -54,17 +55,41 @@ def decode_stub(payload: bytes, mime: str) -> dict:
         except JpegError as e:
             raise NotImplementedError(f"jpeg decode failed: {e}") from e
         return {
-            "fake_width": w,
-            "fake_height": h,
-            "fake_mean": sum(px[:256]) / (255.0 * min(len(px), 256)),
+            "width": w,
+            "height": h,
+            "mean": sum(px[:256]) / (255.0 * min(len(px), 256)),
         }
-    if not mime.startswith(("image/", "audio/")):
+    if mime == "image/png":
+        from ..pdfcore.png import PngError, decode_png
+
+        try:
+            w, h, n, px = decode_png(payload)
+        except PngError as e:
+            raise NotImplementedError(f"png decode failed: {e}") from e
+        return {
+            "width": w,
+            "height": h,
+            "mean": sum(px[:256]) / (255.0 * min(len(px), 256)),
+        }
+    if mime == "image/gif":
+        from ..pdfcore.gif import GifError, decode_gif
+
+        try:
+            w, h, palette, idx = decode_gif(payload)
+        except GifError as e:
+            raise NotImplementedError(f"gif decode failed: {e}") from e
+        return {
+            "width": w,
+            "height": h,
+            "mean": sum(idx[:256]) / (255.0 * min(len(idx), 256)),
+        }
+    if not mime.startswith("audio/"):
         raise NotImplementedError(f"no decoder for {mime}")
     digest = hashlib.sha256(payload).digest()
     return {
-        "fake_width": 1 + digest[0],
-        "fake_height": 1 + digest[1],
-        "fake_mean": digest[2] / 255.0,
+        "width": 1 + digest[0],
+        "height": 1 + digest[1],
+        "mean": digest[2] / 255.0,
     }
 
 
@@ -84,8 +109,8 @@ class MediaMeta:
             try:
                 meta = decode_stub(p, mime)
                 ok.append(True)
-                w.append(meta["fake_width"])
-                h.append(meta["fake_height"])
+                w.append(meta["width"])
+                h.append(meta["height"])
             except NotImplementedError:
                 ok.append(False)
                 w.append(0)

@@ -35,7 +35,7 @@ import pyarrow as pa
 from ..pdfcore.pdfbuild import build_text_pdf
 
 # bump when generation rules change (invalidates /tmp caches)
-GENVER = "v8"
+GENVER = "v9"
 
 _BASE_TS_US = 1704067200 * 1_000_000  # 2024-01-01T00:00:00Z in epoch micros
 
@@ -111,14 +111,37 @@ def make_html_payload(doc_id: int, text: str) -> bytes:
     return page.encode("utf-8")
 
 
+GIF_PALETTE = bytes(
+    b for j in range(256) for b in (j, (j * 7) % 256, (j * 13) % 256)
+)
+
+
+def gif_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic GIF size for junk-arm k==1 rows (SQL-expressible)."""
+    return 2 + doc_id % 5, 2 + doc_id % 3
+
+
+def png_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic PNG size for junk-arm k==2 rows (SQL-expressible)."""
+    return 2 + doc_id % 4, 2 + doc_id % 6
+
+
 def make_junk_payload(doc_id: int) -> bytes:
+    """The router's ``other`` arm. k==1/k==2 are REAL GIF/PNG images
+    (engine-encoded, deterministic pixels) so the multimodal decode
+    stage has true positives; k==0/k==3 stay undecodable."""
+    from ..pdfcore.gif import encode_gif
+    from ..pdfcore.png import encode_png
+
     k = (doc_id // 3) % 4
     if k == 0:
         return b""
     if k == 1:
-        return b"GIF89a" + bytes((doc_id * 7 + j) % 256 for j in range(64))
+        w, h = gif_dims(doc_id)
+        return encode_gif(image_pixels(doc_id, w * h), w, h, GIF_PALETTE)
     if k == 2:
-        return b"\x89PNG\r\n\x1a\n" + bytes((doc_id * 13 + j) % 256 for j in range(48))
+        w, h = png_dims(doc_id)
+        return encode_png(image_pixels(doc_id, w * h * 3), w, h, 3)
     return b"PK\x03\x04" + bytes((doc_id * 31 + j) % 256 for j in range(32))
 
 
@@ -213,9 +236,48 @@ def build_pages_table(sf_dir: str, repeat: int = 1) -> str:
     shutil.rmtree(out, ignore_errors=True)
     ds.map_batches(synth_batch, batch_format="pyarrow", batch_size=256).write_parquet(tmp)
     os.rename(tmp, out)
+
+    # expected-media side table, computed from the WRITTEN artifact:
+    # per-row (doc_id, payload_bytes, sha256) lets the driver's DuckDB
+    # oracle check the binary-metadata pipeline on arms whose payload
+    # bytes are not restatable in SQL (PDF, compressed PNG/GIF)
+    meta_out = meta_table_dir(out)
+    meta_tmp = meta_out + ".tmp"
+    shutil.rmtree(meta_tmp, ignore_errors=True)
+    shutil.rmtree(meta_out, ignore_errors=True)
+
+    def meta_batch(t: pa.Table) -> pa.Table:
+        ids, sizes, digests = [], [], []
+        for url, payload in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            p = payload or b""
+            ids.append(doc_id_from_url(url))
+            sizes.append(len(p))
+            digests.append(hashlib.sha256(p).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload_bytes": pa.array(sizes, pa.int64()),
+                "sha256": pa.array(digests, pa.string()),
+            }
+        )
+
+    import ray.data as rd
+
+    rd.read_parquet(out, columns=["url", "html"]).map_batches(
+        meta_batch, batch_format="pyarrow"
+    ).write_parquet(meta_tmp)
+    os.rename(meta_tmp, meta_out)
+
     with open(done_marker, "w") as f:
         f.write("ok")
     return out
+
+
+def meta_table_dir(pages_dir: str) -> str:
+    """Directory of the expected-media side table for a pages dir
+    (kept OUTSIDE the pages dir so read_parquet(pages) never mixes
+    schemas)."""
+    return pages_dir.rstrip("/") + "_meta"
 
 
 PIPELINE_COLUMNS = ["url", "warc_ts", "html", "lang"]  # stale `text` pruned

@@ -57,6 +57,10 @@ def main():
 
     DataContext.get_current().enable_progress_bars = False
 
+    # oracles that reference the synth-time expected side table key its
+    # path off this env var (the driver's default is sf0.01)
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
