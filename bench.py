@@ -38,10 +38,14 @@ BENCH_QUERIES = (
     "quality_scores",
     "exact_dedup_text",
     "minhash_near_pairs",
+    "simhash_pairs",
     "html_main_content",
     "pdf_image_stats",
+    "media_meta",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh",
     "ann_topk",
+    "ann_topk_ivf",
 )
 
 
