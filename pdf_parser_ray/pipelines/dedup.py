@@ -297,7 +297,13 @@ def _cogroup_pair_payloads(uniq_pairs, corpus_payloads, n_buckets: int = 64):
         payloads = dict(
             zip(g.loc[cmask, "doc_id"].astype(int), g.loc[cmask, "payload"])
         )
-        pr = g[~cmask]
+        # candidate dedup happens HERE, locally: a pair surfacing from
+        # several bands sends all its (a,b,doc_id) side copies to the
+        # same doc bucket, so drop_duplicates inside the group replaces
+        # a whole extra all-to-all aggregate over the candidate set
+        # (measured ~35s of remote wall at sf0.1 — the most expensive
+        # operator in the r2 plan)
+        pr = g[~cmask].drop_duplicates(subset=["a", "b", "doc_id"])
         side_a = pr["a"].astype("int64").to_numpy()
         side_b = pr["b"].astype("int64").to_numpy()
         side_doc = pr["doc_id"].astype("int64").to_numpy()
@@ -390,26 +396,22 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5, n_buckets: int = 64):
     + re-synthesizing the input. At fleet scale, stage to partitioned
     parquet instead (see extract_pipeline.stage_pages) if the corpus
     exceeds aggregate object-store + spill capacity."""
-    from ray.data.aggregate import Count
-
     corpus = dup_corpus(sf_dir).materialize()
     banded = corpus.map_batches(
         MinHashStage, batch_format="pyarrow", concurrency=(1, 8)
     )
-    cands = banded.groupby("bucket").map_groups(
-        _bucket_candidate_pairs, batch_format="pandas"
-    )
-    # a pair can surface from bands in different shuffle buckets:
-    # native global dedup BEFORE the verify join (cheapest point).
-    # materialize() pins the candidate (a, b) id rows in the
-    # DISTRIBUTED object store (16 B/row, a vanishing fraction of the
-    # corpus — never driver memory) and splits the plan so the minhash
-    # pool and the verify shuffle don't hold resources concurrently
-    # (which starves small clusters outright).
+    # a pair can surface from bands in different shuffle buckets; its
+    # global dedup is FREE downstream (all copies co-locate in the
+    # attach doc-bucket group and drop_duplicates there — no extra
+    # all-to-all over the candidate set). materialize() pins the
+    # candidate (a, b) id rows in the DISTRIBUTED object store
+    # (16 B/row, a vanishing fraction of the corpus — never driver
+    # memory) and splits the plan so the minhash pool and the verify
+    # shuffle don't hold resources concurrently (which starves small
+    # clusters outright).
     uniq = (
-        cands.groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["a", "b"])
+        banded.groupby("bucket")
+        .map_groups(_bucket_candidate_pairs, batch_format="pandas")
         .materialize()
     )
 

@@ -452,7 +452,6 @@ def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int 
     store, spill-backed) and shared by the bucketing and payload
     passes."""
     import ray.data
-    from ray.data.aggregate import Count
 
     from .dedup import _cogroup_pair_payloads, _verify_pairs
 
@@ -482,7 +481,10 @@ def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int 
         _log_band_drops("embedding-lsh", dropped_bands, dropped_docs)
         return pd.DataFrame({"a": a_out, "b": b_out}).drop_duplicates()
 
-    cands = (
+    # plan split before the verify shuffle (see dedup.py); cross-table
+    # candidate dedup is free downstream — all copies of a pair
+    # co-locate in the attach doc-bucket group and dedupe locally
+    uniq = (
         base.map_batches(
             HyperplaneBucketizer,
             batch_format="pyarrow",
@@ -491,12 +493,6 @@ def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int 
         )
         .groupby("shuffle_bucket")
         .map_groups(pairs, batch_format="pandas")
-    )
-    # plan split + global pair dedup before the verify (see dedup.py)
-    uniq = (
-        cands.groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["a", "b"])
         .materialize()
     )
 
