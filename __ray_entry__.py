@@ -303,6 +303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions_per_user": relational.sessions_per_user,
         "events_running": relational.events_running,
         "events_minmax": relational.events_minmax,
+        "events_asof_join": relational.events_asof_join,
+        "doc_size_ranges": relational.doc_size_ranges,
         # text analysis
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -597,6 +599,34 @@ def oracle_sql() -> dict[str, str]:
                        AS max_cents,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY event_type
+        """,
+        # the as-of join restated as an IGNORE NULLS last_value window
+        # over the strict (ts, event_id) order — matches the engine's
+        # per-user forward fill exactly
+        "events_asof_join": """
+            WITH ordered AS (
+              SELECT event_id, user_id, event_type, epoch_us(ts) AS tu
+              FROM events WHERE event_type IN ('click', 'view')
+            ), w AS (
+              SELECT event_id, event_type,
+                     last_value(CASE WHEN event_type = 'view'
+                                     THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY tu, event_id
+                             ROWS UNBOUNDED PRECEDING) AS lv
+              FROM ordered
+            )
+            SELECT event_id, CAST(lv AS BIGINT) AS view_event_id
+            FROM w WHERE event_type = 'click' AND lv IS NOT NULL
+        """,
+        # a genuine SQL range join against the same interval table
+        "doc_size_ranges": """
+            SELECT c.name AS size_class, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents d
+            JOIN (VALUES ('xs', 0, 150), ('s', 150, 300),
+                         ('m', 300, 450), ('l', 450, 4611686018427387904))
+                 AS c(name, lo, hi)
+              ON d.n_chars >= c.lo AND d.n_chars < c.hi
+            GROUP BY 1
         """,
         "events_running": """
             SELECT event_id,

@@ -373,6 +373,106 @@ def events_props_agg(sf_dir: str):
     )
 
 
+def events_asof_join(sf_dir: str, left_type: str = "click", right_type: str = "view"):
+    """AS-OF (temporal) join: each ``left_type`` event matched to the
+    LATEST ``right_type`` event of the same user strictly ordered
+    before it by (ts, event_id) — the classic point-in-time lookup
+    Ray Data has no native operator for.
+
+    Shape: prune both sides at the scan (only 4 columns, only the two
+    event types), bucket-coarsen the user shuffle (one groupby), then
+    inside each group ONE vectorized pandas pass: sort by (user, ts,
+    id), forward-fill the right-side event ids within each user, and
+    keep left rows with a fill — O(n log n) per group, no per-user
+    Python dispatch, no per-row probe. Emits matched pairs only (so
+    the oracle hash stays int64-clean)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.equal(t["event_type"], left_type),
+            pc.equal(t["event_type"], right_type),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "is_left": pc.equal(t["event_type"], left_type),
+                "ts_us": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        right_ids = g["event_id"].where(~g["is_left"])
+        # ffill within user: the latest right-side id at-or-before each
+        # row in the strict (ts, event_id) order; left rows never
+        # pollute the fill, and a row never matches itself (it is left)
+        matched = right_ids.groupby(g["user_id"]).ffill()
+        out = g[g["is_left"] & matched.notna()]
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].astype("int64"),
+                "view_event_id": matched[out.index].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
+# size classes for the broadcast RANGE join (half-open [lo, hi))
+SIZE_CLASSES = (
+    ("xs", 0, 150),
+    ("s", 150, 300),
+    ("m", 300, 450),
+    ("l", 450, 1 << 62),
+)
+
+
+def doc_size_ranges(sf_dir: str):
+    """Broadcast RANGE join: documents joined to a small interval
+    table on ``lo <= n_chars < hi``, then counted per class.
+
+    Shape: the interval table is tiny and sorted, so the join is a
+    vectorized ``np.searchsorted`` against its lower bounds inside
+    ``map_batches`` — a broadcast range join with zero shuffle; the
+    only exchange is the 4-row count aggregate. The same recipe covers
+    any banded/interval join (IP→geo, ts→calendar) at fleet scale."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["n_chars"])
+    lows = np.array([lo for _, lo, _ in SIZE_CLASSES], dtype=np.int64)
+    names = [name for name, _, _ in SIZE_CLASSES]
+
+    def classify(t: pa.Table) -> pa.Table:
+        n = t["n_chars"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lows, n, side="right") - 1
+        cls, counts = np.unique(idx, return_counts=True)
+        return pa.table(
+            {
+                "size_class": pa.array([names[c] for c in cls], pa.string()),
+                "n_docs": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(classify, batch_format="pyarrow")
+        .groupby("size_class")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
 def sample_10pct(sf_dir: str):
     """Deterministic 10% sample (doc_id % 10 == 0) — the reproducible
     stand-in for ``ds.random_sample(0.1, seed=...)`` whose row set a
