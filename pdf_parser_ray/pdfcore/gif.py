@@ -18,9 +18,19 @@ class GifError(Exception):
 
 def _lzw_encode_gif(data: bytes, min_code_size: int) -> bytes:
     """GIF-dialect LZW: codes packed LSB-first, Clear emitted up front
-    and whenever the table fills (4096)."""
+    and whenever the table fills (4096).
+
+    Code-width bookkeeping MIRRORS THE DECODER exactly: the decoder
+    appends one table entry after every normal code except the first
+    since a Clear, and widens when ITS table size reaches 2^width —
+    which lags the encoder's own table by one entry. Tracking the
+    decoder's size (``dec_size``) instead of the encoder's
+    ``next_code`` keeps both sides bit-synchronized at every width
+    boundary (an off-by-one here desyncs at the SECOND boundary —
+    caught by hypothesis at min_code_size=2)."""
     clear = 1 << min_code_size
     eoi = clear + 1
+    base = eoi + 1
 
     out = bytearray()
     bitbuf = 0
@@ -37,8 +47,22 @@ def _lzw_encode_gif(data: bytes, min_code_size: int) -> bytes:
             nbits -= 8
 
     table = {bytes([i]): i for i in range(clear)}
-    next_code = eoi + 1
+    next_code = base
+    dec_size = base  # the decoder's table size, tracked exactly
+    first_since_clear = True
     emit(clear)
+
+    def after_emit():
+        # the decoder appends after every normal code except the first
+        # since a Clear; its append may widen the NEXT code
+        nonlocal dec_size, first_since_clear, width
+        if first_since_clear:
+            first_since_clear = False
+            return
+        dec_size += 1
+        if dec_size == (1 << width) and width < 12:
+            width += 1
+
     cur = b""
     for byte in data:
         nxt = cur + bytes([byte])
@@ -46,18 +70,20 @@ def _lzw_encode_gif(data: bytes, min_code_size: int) -> bytes:
             cur = nxt
             continue
         emit(table[cur])
+        after_emit()
         table[nxt] = next_code
         next_code += 1
-        if next_code == (1 << width) + 1 and width < 12:
-            width += 1
-        if next_code >= 4096:
+        if next_code > 4095:
             emit(clear)
             table = {bytes([i]): i for i in range(clear)}
-            next_code = eoi + 1
+            next_code = base
+            dec_size = base
             width = min_code_size + 1
+            first_since_clear = True
         cur = bytes([byte])
     if cur:
         emit(table[cur])
+        after_emit()
     emit(eoi)
     if nbits:
         out.append(bitbuf & 0xFF)
