@@ -305,6 +305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_minmax": relational.events_minmax,
         "events_asof_join": relational.events_asof_join,
         "doc_size_ranges": relational.doc_size_ranges,
+        "top_docs_per_lang": relational.top_docs_per_lang,
+        "chars_quantiles": relational.chars_quantiles,
         # text analysis
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -599,6 +601,32 @@ def oracle_sql() -> dict[str, str]:
                        AS max_cents,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY event_type
+        """,
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars, rank FROM (
+              SELECT lang, doc_id, n_chars,
+                     CAST(row_number() OVER (
+                        PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                     ) AS BIGINT) AS rank
+              FROM documents
+            ) WHERE rank <= 3
+        """,
+        # discrete quantile = value at 1-based rank ceil(q*n) of the
+        # sorted group (deterministic under ties: same multiset)
+        "chars_quantiles": """
+            WITH s AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM documents
+            )
+            SELECT lang, CAST(50 AS BIGINT) AS q_pct,
+                   CAST(n_chars AS BIGINT) AS value
+            FROM s WHERE rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))
+            UNION ALL
+            SELECT lang, CAST(90 AS BIGINT) AS q_pct,
+                   CAST(n_chars AS BIGINT) AS value
+            FROM s WHERE rn = GREATEST(1, CAST(ceil(0.9 * n) AS BIGINT))
         """,
         # the as-of join restated as an IGNORE NULLS last_value window
         # over the strict (ts, event_id) order — matches the engine's

@@ -473,6 +473,83 @@ def doc_size_ranges(sf_dir: str):
     )
 
 
+def top_docs_per_lang(sf_dir: str, k: int = 3):
+    """Top-k PER GROUP (largest docs per language) — the grouped
+    variant of sort+limit.
+
+    Shape: each batch pre-reduces to its local top-k per lang (pandas
+    head over a sorted batch), so the shuffle carries at most
+    k x langs x batches rows; the final per-lang groupby re-ranks the
+    partials. The global ``sort().limit()`` pattern never touches the
+    data — this is the push-down that keeps grouped top-k off the
+    all-to-all path at fleet scale."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(
+                ["lang", "n_chars", "doc_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("lang", sort=False)
+            .head(k)
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "lang": g["lang"],
+                "doc_id": g["doc_id"].astype("int64"),
+                "n_chars": g["n_chars"].astype("int64"),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def chars_quantiles(sf_dir: str, quantiles=(50, 90)):
+    """Exact per-group discrete quantiles (p50/p90 of n_chars per
+    lang): value at 1-based rank ceil(q*n) of the sorted group —
+    deterministic regardless of tie order (same multiset).
+
+    Shape: one groupby co-locates each lang's values (8 B/row); the
+    quantile is a vectorized np.sort + index per group. Exact-by-sort
+    is right while a group's values fit one worker (int columns at
+    millions of rows); past that, swap the same stage for a mergeable
+    sketch (t-digest/KLL) with identical output schema."""
+    import math
+
+    import ray.data
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["lang", "n_chars"])
+
+    def q_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(g["n_chars"].to_numpy())
+        n = len(vals)
+        rows = [
+            (g["lang"].iloc[0], q, int(vals[max(0, math.ceil(q / 100 * n) - 1)]))
+            for q in quantiles
+        ]
+        return pd.DataFrame(rows, columns=["lang", "q_pct", "value"]).astype(
+            {"q_pct": "int64", "value": "int64"}
+        )
+
+    return ds.groupby("lang").map_groups(q_of_group, batch_format="pandas")
+
+
 def sample_10pct(sf_dir: str):
     """Deterministic 10% sample (doc_id % 10 == 0) — the reproducible
     stand-in for ``ds.random_sample(0.1, seed=...)`` whose row set a
