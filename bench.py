@@ -46,6 +46,10 @@ BENCH_QUERIES = (
     "embedding_dup_pairs_lsh",
     "ann_topk",
     "ann_topk_ivf",
+    "events_asof_join",
+    "doc_size_ranges",
+    "top_docs_per_lang",
+    "chars_quantiles",
 )
 
 
