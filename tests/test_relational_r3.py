@@ -1,0 +1,87 @@
+"""Round-3 relational operators vs independent in-process references
+(pandas recomputations over the raw parquet — the oracle SQL lives in
+__ray_entry__ and is exercised by scripts/check_oracle.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_asof_join_matches_pandas_reference(ray_session):
+    from pdf_parser_ray.pipelines.relational import events_asof_join
+
+    got = (
+        events_asof_join(SF)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev = ev[ev["event_type"].isin(["click", "view"])].copy()
+    ev["ts_us"] = ev["ts"].astype("int64")
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    rows = []
+    for _, g in ev.groupby("user_id"):
+        last_view = None
+        for _, r in g.iterrows():
+            if r["event_type"] == "view":
+                last_view = int(r["event_id"])
+            elif last_view is not None:
+                rows.append((int(r["event_id"]), last_view))
+    exp = (
+        pd.DataFrame(rows, columns=["event_id", "view_event_id"])
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_doc_size_ranges_covers_every_doc(ray_session):
+    from pdf_parser_ray.pipelines.relational import SIZE_CLASSES, doc_size_ranges
+
+    got = doc_size_ranges(SF).to_pandas()
+    n_docs = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    assert got["n_docs"].sum() == n_docs  # intervals tile: no doc lost/double
+    chars = pq.read_table(f"{SF}/documents.parquet", columns=["n_chars"]).to_pandas()
+    for name, lo, hi in SIZE_CLASSES:
+        expected = int(((chars["n_chars"] >= lo) & (chars["n_chars"] < hi)).sum())
+        row = got[got["size_class"] == name]
+        assert (int(row["n_docs"].iloc[0]) if len(row) else 0) == expected
+
+
+def test_top_docs_per_lang_pushdown_equals_global_sort(ray_session):
+    from pdf_parser_ray.pipelines.relational import top_docs_per_lang
+
+    got = top_docs_per_lang(SF).to_pandas()
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).to_pandas()
+    exp = (
+        docs.sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        .groupby("lang")
+        .head(3)
+    )
+    for lang, g in exp.groupby("lang"):
+        mine = got[got["lang"] == lang].sort_values("rank")
+        assert list(mine["doc_id"]) == list(g["doc_id"])
+        assert list(mine["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_chars_quantiles_rule(ray_session):
+    import math
+
+    from pdf_parser_ray.pipelines.relational import chars_quantiles
+
+    got = chars_quantiles(SF).to_pandas()
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["lang", "n_chars"]
+    ).to_pandas()
+    for (lang, q), row in got.set_index(["lang", "q_pct"]).iterrows():
+        vals = np.sort(docs.loc[docs["lang"] == lang, "n_chars"].to_numpy())
+        idx = max(0, math.ceil(q / 100 * len(vals)) - 1)
+        assert int(row["value"]) == int(vals[idx])
