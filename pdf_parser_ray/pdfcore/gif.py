@@ -119,8 +119,13 @@ def _lzw_decode_gif(data: bytes, min_code_size: int, max_out: int) -> bytes:
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
-                table.append(prev + entry[:1])
-            elif code == len(table):
+                # deferred-clear support: a spec encoder may keep
+                # emitting 12-bit codes after the table fills; the
+                # decoder must STOP adding entries at 4096 until a
+                # Clear arrives or both sides desync
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and code < 4096:
                 entry = prev + prev[:1]
                 table.append(entry)
             else:

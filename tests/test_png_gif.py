@@ -193,3 +193,61 @@ def test_junk_arm_payloads_decode_to_synth_pixels():
     ww, hh, ch, px = decode_png(make_junk_payload(png_doc))
     assert (ww, hh, ch) == (w, h, 3)
     assert px == image_pixels(png_doc, w * h * 3)
+
+
+def test_gif_deferred_clear_decode():
+    """Spec encoders may defer the Clear code past a full table,
+    emitting 12-bit codes indefinitely; the decoder must freeze its
+    table at 4096 and keep decoding (not desync)."""
+    from pdf_parser_ray.pdfcore.gif import _lzw_decode_gif
+
+    mcs = 8
+    clear, eoi, base = 1 << mcs, (1 << mcs) + 1, (1 << mcs) + 2
+
+    out = bytearray()
+    state = {"bitbuf": 0, "nbits": 0, "width": mcs + 1}
+
+    def emit(code):
+        state["bitbuf"] |= code << state["nbits"]
+        state["nbits"] += state["width"]
+        while state["nbits"] >= 8:
+            out.append(state["bitbuf"] & 0xFF)
+            state["bitbuf"] >>= 8
+            state["nbits"] -= 8
+
+    # a no-Clear encoder: freezes its table at 4096 entries
+    data = bytes((i * 7 + i // 5) % 256 for i in range(60_000))
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, dec_size, first = base, base, True
+    emit(clear)
+    cur = b""
+
+    def after_emit():
+        nonlocal dec_size, first
+        if first:
+            first = False
+            return
+        if dec_size < 4096:
+            dec_size += 1
+            if dec_size == (1 << state["width"]) and state["width"] < 12:
+                state["width"] += 1
+
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        after_emit()
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur])
+        after_emit()
+    emit(eoi)
+    if state["nbits"]:
+        out.append(state["bitbuf"] & 0xFF)
+
+    assert _lzw_decode_gif(bytes(out), mcs, len(data)) == data
