@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,
         # dedup
         "exact_dedup_text": dedup.exact_dedup_text,
+        "streaming_exact_dedup": dedup.streaming_exact_dedup,
         "exact_dedup_key": dedup.exact_dedup_key,
         "url_dedup": dedup.url_dedup,
         "minhash_exact_pairs": lambda sf: dedup.minhash_dup_pairs(sf, threshold=0.999),
@@ -682,6 +683,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "exact_dedup_text": _DUP_CORPUS
+        + """
+            SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text
+        """,
+        # the sharded-actor streaming index converges to the same
+        # min-per-key answer (the fold is associative+commutative, so
+        # arrival order is irrelevant) — identical oracle
+        "streaming_exact_dedup": _DUP_CORPUS
         + """
             SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text
         """,

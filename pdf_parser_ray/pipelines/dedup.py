@@ -140,6 +140,90 @@ def exact_dedup_key(sf_dir: str):
     )
 
 
+def streaming_exact_dedup(sf_dir: str, n_shards: int = 8):
+    """INCREMENTAL exact dedup through a SHARED MUTABLE INDEX: a pool
+    of key-sharded raw ``@ray.remote`` actors each owns one slice of
+    the content-hash space and folds batches into its ``seen`` map as
+    they stream past.
+
+    This is the one shape the Dataset API genuinely cannot express —
+    cross-batch mutable state that must answer membership DURING the
+    stream (incremental crawl ingest: "is this doc new as of now?").
+    For one-shot batch dedup the shuffle variant (``exact_dedup_text``)
+    is strictly better — this operator exists for the arrival-over-time
+    case, and its final state equals the batch answer because the fold
+    (min doc_id per key) is associative and commutative, so arrival
+    order cannot change the result (same DuckDB oracle).
+
+    Scale shape: shard count scales with cluster size (hash-partition
+    the key space exactly like a shuffle would); per-shard memory is
+    (distinct keys / shards) x 24 B. Each mapper task sends each batch
+    slice to its owner shard once — the same volume a shuffle would
+    move, but with streamed availability. Actors are killed on exit."""
+    import ray
+
+    from ..functions.hashing import blake2b128_of_strings
+
+    @ray.remote(num_cpus=0.25)
+    class DedupShard:
+        """Owns h1 % n_shards == shard_id; seen: (h1, h2) -> min doc_id."""
+
+        def __init__(self):
+            self.seen: dict[tuple[int, int], int] = {}
+
+        def offer(self, h1, h2, ids) -> int:
+            """Fold a batch slice in; returns how many keys were new
+            (the streaming 'is this new?' answer, batched)."""
+            seen = self.seen
+            fresh = 0
+            for a, b, d in zip(h1.tolist(), h2.tolist(), ids.tolist()):
+                k = (a, b)
+                cur = seen.get(k)
+                if cur is None:
+                    seen[k] = d
+                    fresh += 1
+                elif d < cur:
+                    seen[k] = d
+            return fresh
+
+        def dump(self) -> pa.Table:
+            items = sorted(self.seen.items())
+            return pa.table(
+                {
+                    "doc_id": pa.array([d for _, d in items], pa.int64()),
+                }
+            )
+
+    shards = [DedupShard.remote() for _ in range(n_shards)]
+
+    def ingest(t: pa.Table) -> pa.Table:
+        h1, h2 = blake2b128_of_strings(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        shard_of = (h1 % n_shards + n_shards) % n_shards
+        refs = []
+        for s in range(n_shards):
+            m = shard_of == s
+            if m.any():
+                refs.append(shards[s].offer.remote(h1[m], h2[m], ids[m]))
+        import ray as _ray
+
+        _ray.get(refs)  # barrier per batch: state is current when we return
+        return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+    try:
+        # drive the stream through the index (the count() is the sink)
+        dup_corpus(sf_dir).map_batches(ingest, batch_format="pyarrow").count()
+        import ray as _ray
+
+        tables = _ray.get([s.dump.remote() for s in shards])
+    finally:
+        import ray as _ray
+
+        for s in shards:
+            _ray.kill(s)
+    return pa.concat_tables(tables)
+
+
 # -- MinHash + LSH --
 
 

@@ -277,3 +277,18 @@ def test_blake2b128_buffer_hash_matches_per_row():
     g1, g2 = blake2b128_of_strings(pa.array(bvals, type=pa.large_binary()))
     e1, e2 = expected(bvals)
     assert list(g1) == e1 and list(g2) == e2
+
+
+def test_streaming_dedup_equals_batch_dedup(ray_session):
+    """The sharded-actor streaming index must converge to exactly the
+    batch shuffle answer (associative min fold — arrival order free),
+    and must clean its actors up afterwards."""
+    from pdf_parser_ray.pipelines.dedup import (
+        exact_dedup_text,
+        streaming_exact_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = sorted(exact_dedup_text(sf).to_pandas()["doc_id"])
+    streaming = sorted(streaming_exact_dedup(sf, n_shards=4)["doc_id"].to_pylist())
+    assert streaming == batch
