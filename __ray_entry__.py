@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions_per_user": relational.sessions_per_user,
         "events_running": relational.events_running,
         "events_minmax": relational.events_minmax,
+        "events_sliding": relational.events_sliding,
         "events_asof_join": relational.events_asof_join,
         "doc_size_ranges": relational.doc_size_ranges,
         "top_docs_per_lang": relational.top_docs_per_lang,
@@ -602,6 +603,17 @@ def oracle_sql() -> dict[str, str]:
                        AS max_cents,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY event_type
+        """,
+        # sliding window = tumbling hours cross-joined with the hop
+        # offsets (every event covers window_hours/hop_hours windows)
+        "events_sliding": """
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) - off AS win_start,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS value_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+            GROUP BY 1, 2
         """,
         "top_docs_per_lang": """
             SELECT lang, doc_id, n_chars, rank FROM (

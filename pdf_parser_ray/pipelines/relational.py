@@ -237,6 +237,63 @@ def events_hourly(sf_dir: str):
     )
 
 
+def events_sliding(sf_dir: str, window_hours: int = 2, hop_hours: int = 1):
+    """SLIDING (hopping) windows per event_type: a 2-hour window every
+    1 hour — each event belongs to window_hours/hop_hours windows.
+
+    Shape: the window fan-out happens INSIDE the batch (each row
+    duplicated once per covering window, vectorized concat) and the
+    partial aggregate collapses it before the shuffle — the exchange
+    carries one partial row per (type, window, batch), never the
+    fanned-out events. The streaming-engine hop/window knobs are
+    parameters; watermarking at fleet scale = partition the read by
+    arrival date so late data reopens only its own partition's
+    windows."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    n_covers = window_hours // hop_hours
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_type", "ts", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.divide(
+            pc.cast(t["ts"], pa.int64()), pa.scalar(3_600_000_000, pa.int64())
+        )
+        cents = _cents(t["value"])
+        parts = []
+        for off in range(n_covers):
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": t["event_type"],
+                        "win_start": pc.subtract(
+                            hour, pa.scalar(off, pa.int64())
+                        ),
+                        "value_cents": cents,
+                        "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                    }
+                )
+            )
+        t2 = pa.concat_tables(parts)
+        g = t2.group_by(["event_type", "win_start"]).aggregate(
+            [("value_cents", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(
+            ["event_type", "win_start", "value_cents", "n_events"]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "win_start"])
+        .aggregate(
+            Sum("value_cents", alias_name="value_cents"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+
 def events_minmax(sf_dir: str):
     """Min/Max/Count aggregate family per event_type (integer cents)."""
     import ray.data
