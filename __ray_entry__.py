@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational,
         similarity,
         textstats,
+        training,
     )
     from ray.data.aggregate import Count, Sum
 
@@ -335,6 +336,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # set ops / diagnostics
         "distinct_langs": distinct_langs,
         "partition_metrics": partition_metrics_q,
+        # training-data prep (C4/Gopher/RefinedWeb-style curation)
+        "pii_redact": training.pii_redact,
+        "gopher_repetition": training.gopher_repetition,
+        "domain_stats": training.domain_stats,
+        "stratified_sample": training.stratified_sample,
+        "pack_sequences": training.pack_sequences,
     }
 
 
@@ -978,5 +985,110 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q, embeddings c
               WHERE q.vec_id < 8 AND c.vec_id >= 8
             ) WHERE rank <= 5
+        """,
+        # PII injection rebuilt with || / lpad, then the SAME RE2-safe
+        # patterns redacted + counted (pipelines/training.py constants)
+        "pii_redact": r"""
+            WITH pii AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@mail'
+                          || (doc_id % 7) || '.example.com or dial 555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(
+                        regexp_replace(t,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                          '<EMAIL>', 'g'),
+                        '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+                   regexp_replace(
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS clean_text
+            FROM pii
+        """,
+        # Gopher repetition signals recomputed from scratch: unigram
+        # top count and duplicate-bigram mass via unnest + GROUP BY
+        "gopher_repetition": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts
+              FROM documents
+            ),
+            uni AS (
+              SELECT doc_id, MAX(c) AS top_word_n FROM (
+                SELECT doc_id, w, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(ts) AS w FROM tok)
+                GROUP BY 1, 2
+              ) GROUP BY 1
+            ),
+            big AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_bigram_n
+              FROM (
+                SELECT doc_id, b, COUNT(*) AS c
+                FROM (
+                  SELECT doc_id,
+                         unnest(list_transform(
+                           generate_series(1, len(ts) - 1),
+                           i -> ts[i] || ' ' || ts[i+1])) AS b
+                  FROM tok
+                ) GROUP BY 1, 2
+              ) GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   CAST(len(ts) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(uni.top_word_n, 0) AS BIGINT) AS top_word_n,
+                   CAST(CASE WHEN len(ts) >= 2 THEN len(ts) - 1 ELSE 0 END
+                        AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(big.dup_bigram_n, 0) AS BIGINT) AS dup_bigram_n
+            FROM tok t
+            LEFT JOIN uni ON uni.doc_id = t.doc_id
+            LEFT JOIN big ON big.doc_id = t.doc_id
+        """,
+        # the oracle rebuilds the page url then genuinely PARSES it
+        "domain_stats": """
+            WITH pages AS (
+              SELECT 'https://site' || (doc_id % 97) || '.example/p/' || doc_id
+                       AS url
+              FROM documents
+            )
+            SELECT split_part(url, '/', 3) AS domain,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(MIN(CAST(split_part(url, '/', 5) AS BIGINT)) AS BIGINT)
+                       AS min_doc,
+                   CAST(MAX(CAST(split_part(url, '/', 5) AS BIGINT)) AS BIGINT)
+                       AS max_doc
+            FROM pages GROUP BY 1
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id % 100 < CASE lang
+              WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'fr' THEN 10
+              WHEN 'es' THEN 5 WHEN 'zh' THEN 2 ELSE 0 END
+        """,
+        # concat-and-chunk packing = exclusive window prefix sum
+        "pack_sequences": """
+            WITH tok AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            scanned AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), 0) AS BIGINT) AS start_tok
+              FROM tok
+            )
+            SELECT doc_id, n_tokens, start_tok,
+                   CAST(start_tok // 512 AS BIGINT) AS seq_id
+            FROM scanned
         """,
     }

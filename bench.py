@@ -50,6 +50,10 @@ BENCH_QUERIES = (
     "doc_size_ranges",
     "top_docs_per_lang",
     "chars_quantiles",
+    "pii_redact",
+    "gopher_repetition",
+    "domain_stats",
+    "pack_sequences",
 )
 
 

@@ -1,0 +1,316 @@
+"""Training-data preparation operators over the documents/pages tables.
+
+The curation steps a large-scale LLM data pipeline runs after
+extraction (C4 / Gopher / RefinedWeb-style):
+
+- :func:`pii_redact` — regex PII redaction (emails, phone numbers) with
+  per-doc match counts. The corpus has no natural PII, so the pipeline
+  first injects deterministic, SQL-restatable PII spans (same pattern as
+  the dup corpora in ``pipelines/dedup.py``) and then redacts them.
+- :func:`gopher_repetition` — Gopher-rule repetition signals per doc:
+  most-frequent-token count and duplicate-bigram mass (Rae et al. 2021,
+  "Scaling Language Models: ... Gopher", §A1.1 repetition filters).
+- :func:`domain_stats` — URL-domain parse + per-domain aggregate over
+  the synthesized pages corpus (the C4/RefinedWeb URL-filtering step).
+- :func:`stratified_sample` — per-language deterministic sampling rates
+  (the data-mixture reweighting step).
+- :func:`pack_sequences` — concat-and-chunk assignment of documents to
+  fixed-token-budget training sequences via a DISTRIBUTED prefix sum
+  (hierarchical: per-bucket sums -> superbucket scan on the driver ->
+  distributed per-bucket offsets -> join back). The driver only ever
+  holds the superbucket sums (O(n_docs / (bucket_size * fanout))).
+
+Everything is vectorized ``map_batches`` over Arrow/pandas batches;
+compiled regexes live in actor ``__init__``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"[A-Za-z0-9]+"
+# Kept RE2-compatible on purpose: no backrefs/lookaround, so the DuckDB
+# oracle's regexp_replace/extract_all sees identical match sets.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+
+# per-language keep rates out of 100 (deterministic doc_id % 100 gate)
+SAMPLE_RATES = {"en": 50, "de": 20, "fr": 10, "es": 5, "zh": 2}
+
+
+def _docs(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+# -- PII redaction ----------------------------------------------------------
+
+
+def inject_pii(df: pd.DataFrame) -> pd.Series:
+    """Deterministic PII spans appended to each doc (SQL-restatable:
+    the oracle rebuilds the same string with || and lpad)."""
+    ids = df["doc_id"]
+    return (
+        df["text"]
+        + " contact user"
+        + ids.astype(str)
+        + "@mail"
+        + (ids % 7).astype(str)
+        + ".example.com or dial 555-"
+        + (ids % 10000).astype(str).str.zfill(4)
+    )
+
+
+class PiiRedactor:
+    """Stateful stage: patterns compiled once per actor. Emits the
+    redacted text plus per-doc counts of each PII class (the counts are
+    what a production pipeline monitors for drift)."""
+
+    def __init__(self):
+        self.email = re.compile(EMAIL_RE)
+        self.phone = re.compile(PHONE_RE)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        txt = inject_pii(df)
+        n_emails = txt.str.count(EMAIL_RE).astype("int64")
+        clean = txt.str.replace(EMAIL_RE, "<EMAIL>", regex=True)
+        n_phones = clean.str.count(PHONE_RE).astype("int64")
+        clean = clean.str.replace(PHONE_RE, "<PHONE>", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_emails": n_emails,
+                "n_phones": n_phones,
+                "clean_text": clean,
+            }
+        )
+
+
+def pii_redact(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(PiiRedactor, batch_format="pandas", concurrency=(1, 4))
+
+
+# -- Gopher repetition signals ----------------------------------------------
+
+
+class RepetitionStats:
+    """Per-doc repetition signals (doc = the vectorization unit, like
+    Fingerprinter): n_tokens, count of the most frequent token, total
+    bigrams, and duplicate-bigram mass (sum of counts of bigrams seen
+    >= 2 times). Downstream filters threshold on the ratios."""
+
+    def __init__(self):
+        self.word = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_tok, top_w, n_big, dup_big = [], [], [], []
+        for t in batch["text"].to_pylist():
+            toks = self.word.findall(t)
+            n = len(toks)
+            uni = Counter(toks)
+            big = Counter(zip(toks, toks[1:]))
+            n_tok.append(n)
+            top_w.append(max(uni.values()) if uni else 0)
+            n_big.append(n - 1 if n >= 2 else 0)
+            dup_big.append(sum(c for c in big.values() if c >= 2))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "top_word_n": pa.array(top_w, pa.int64()),
+                "n_bigrams": pa.array(n_big, pa.int64()),
+                "dup_bigram_n": pa.array(dup_big, pa.int64()),
+            }
+        )
+
+
+def gopher_repetition(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(RepetitionStats, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# -- URL domain stats -------------------------------------------------------
+
+
+def domain_stats(sf_dir: str):
+    """Parse the domain out of each page URL (vectorized Arrow string
+    split) and aggregate per domain — partial agg inside the batch, so
+    only one row per (batch, domain) rides the shuffle."""
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..sources.synth import read_pages
+
+    ds = read_pages(sf_dir, columns=["url"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["url"], "/")
+        dom = pc.list_element(parts, 2)
+        ids = pc.cast(pc.list_element(parts, 4), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "domain": dom,
+                    "n_docs": pa.array(np.ones(len(t), dtype=np.int64)),
+                    "min_doc": ids,
+                    "max_doc": ids,
+                }
+            )
+            .group_by("domain")
+            .aggregate([("n_docs", "sum"), ("min_doc", "min"), ("max_doc", "max")])
+        )
+        return g.rename_columns(["domain", "n_docs", "min_doc", "max_doc"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Min("min_doc", alias_name="min_doc"),
+            Max("max_doc", alias_name="max_doc"),
+        )
+    )
+
+
+# -- stratified sampling ----------------------------------------------------
+
+
+def stratified_sample(sf_dir: str):
+    """Deterministic per-language sampling (mixture reweighting):
+    keep doc iff doc_id % 100 < rate[lang]. Pure filter — no shuffle."""
+    import ray.data
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "lang"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        rate = df["lang"].map(SAMPLE_RATES).fillna(0).astype("int64")
+        return df[df["doc_id"] % 100 < rate][["doc_id", "lang"]]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+# -- sequence packing (distributed prefix sum) ------------------------------
+
+
+def pack_sequences(
+    sf_dir: str, budget: int = 512, bucket_size: int = 256, fanout: int = 16
+):
+    """Concat-and-chunk training-sequence assignment: documents are
+    concatenated in doc_id order and split into fixed ``budget``-token
+    sequences; each doc gets the sequence id of its starting token.
+
+    The global exclusive prefix sum over n_tokens is computed
+    hierarchically so nothing large ever lands on the driver:
+
+    1. per-batch token counts + range bucket (``doc_id // bucket_size``
+       — dense orderable keys; any range-partitioning key works),
+    2. per-bucket sums via ``groupby.aggregate`` (distributed),
+    3. the driver scans only the SUPERBUCKET sums
+       (``bucket // fanout`` — O(n_docs / (bucket_size*fanout)) rows),
+    4. per-bucket offsets are scanned distributed inside each
+       superbucket group, then hash-joined back onto the docs,
+    5. a final per-bucket ``map_groups`` does the local cumsum.
+
+    At 10^12 docs with bucket_size 64k and fanout 4k the driver table
+    is ~4M rows; one more level makes it O(n^(1/3)). Cited shape:
+    classic two-level scan (Blelloch 1990 prefix-sum decomposition).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": df["text"].str.count(TOKEN_RE).astype("int64"),
+                "bucket": (df["doc_id"] // bucket_size).astype("int64"),
+            }
+        )
+
+    # token counts are 3 ints/doc — materialize so the two consumers
+    # (bucket sums, final assignment) don't re-read + re-tokenize text
+    tokds = ds.map_batches(tok, batch_format="pandas").materialize()
+
+    bucket_sums = tokds.groupby("bucket").aggregate(Sum("n_tokens", alias_name="s"))
+
+    def with_super(t: pa.Table) -> pa.Table:
+        sb = pc.divide(t["bucket"], pa.scalar(fanout, pa.int64()))
+        return t.append_column("superbucket", sb)
+
+    bucket_sums = bucket_sums.map_batches(with_super, batch_format="pyarrow")
+    # driver-side scan over SUPERBUCKET sums only (small by construction)
+    super_rows = sorted(
+        (
+            r["superbucket"],
+            r["s"],
+        )
+        for r in bucket_sums.groupby("superbucket")
+        .aggregate(Sum("s", alias_name="s"))
+        .take_all()
+    )
+    super_off: dict[int, int] = {}
+    acc = 0
+    for sb, s in super_rows:
+        super_off[sb] = acc
+        acc += s
+
+    import ray
+
+    off_ref = ray.put(super_off)
+
+    def bucket_offsets(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(off_ref)[int(g["superbucket"].iloc[0])]
+        g = g.sort_values("bucket", kind="mergesort")
+        start = base + g["s"].cumsum().shift(fill_value=0)
+        return pd.DataFrame(
+            {"bucket": g["bucket"].astype("int64"), "bucket_off": start.astype("int64")}
+        )
+
+    offsets = bucket_sums.groupby("superbucket").map_groups(
+        bucket_offsets, batch_format="pandas"
+    )
+
+    # reduce-side join: offset rows ride the SAME bucket shuffle as the
+    # doc rows (marker doc_id=-1 carries bucket_off in n_tokens) — the
+    # co-shuffled-union pattern from pipelines/dedup.py, robust to the
+    # schema-less empty blocks map_groups can emit
+    def as_doc_row(df: pd.DataFrame) -> pd.DataFrame:
+        # pandas out to match tokds' block type: unioning mixed
+        # arrow/pandas block types breaks the sort-boundary sampler
+        return pd.DataFrame(
+            {
+                "doc_id": np.full(len(df), -1, dtype=np.int64),
+                "n_tokens": df["bucket_off"].astype("int64"),
+                "bucket": df["bucket"].astype("int64"),
+            }
+        )
+
+    unioned = tokds.union(offsets.map_batches(as_doc_row, batch_format="pandas"))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        base = int(g.loc[g["doc_id"] < 0, "n_tokens"].iloc[0])
+        g = g[g["doc_id"] >= 0].sort_values("doc_id", kind="mergesort")
+        start = base + g["n_tokens"].cumsum().shift(fill_value=0)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "n_tokens": g["n_tokens"].astype("int64"),
+                "start_tok": start.astype("int64"),
+                "seq_id": (start // budget).astype("int64"),
+            }
+        )
+
+    return unioned.groupby("bucket").map_groups(assign, batch_format="pandas")

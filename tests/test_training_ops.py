@@ -1,0 +1,91 @@
+"""Training-data prep operators (pipelines/training.py): PII
+redaction, Gopher repetition signals, domain stats, stratified
+sampling, and the hierarchical-prefix-sum sequence packer."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+
+from pdf_parser_ray.pipelines import training
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pii_redactor_counts_and_redaction():
+    df = pd.DataFrame({"doc_id": [7, 10000], "text": ["hello world", "x"]})
+    out = training.PiiRedactor()(df)
+    assert list(out["n_emails"]) == [1, 1]
+    assert list(out["n_phones"]) == [1, 1]
+    assert (
+        out["clean_text"][0]
+        == "hello world contact <EMAIL> or dial <PHONE>"
+    )
+    # doc 10000: phone is 555-0000 (id % 10000), email user10000@mail4...
+    assert "<EMAIL>" in out["clean_text"][1]
+    assert "@" not in out["clean_text"][1]
+    assert "555-" not in out["clean_text"][1]
+
+
+def test_pii_injection_matches_sql_rebuild():
+    df = pd.DataFrame({"doc_id": [123], "text": ["w"]})
+    assert (
+        training.inject_pii(df)[0]
+        == "w contact user123@mail4.example.com or dial 555-0123"
+    )
+
+
+def test_repetition_stats_hand_case():
+    batch = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         "text": ["a a a b", "x", ""]}
+    )
+    out = training.RepetitionStats()(batch)
+    # "a a a b": 4 tokens, top word 'a' x3; bigrams (a,a)x2 (a,b)x1 ->
+    # 3 bigrams, duplicate-bigram mass 2
+    assert out["n_tokens"].to_pylist() == [4, 1, 0]
+    assert out["top_word_n"].to_pylist() == [3, 1, 0]
+    assert out["n_bigrams"].to_pylist() == [3, 0, 0]
+    assert out["dup_bigram_n"].to_pylist() == [2, 0, 0]
+
+
+def test_pack_sequences_matches_window_sql(ray_session):
+    # tiny bucket/fanout so the hierarchy is exercised for real:
+    # 500 docs -> 32 buckets -> 8 superbuckets
+    got = (
+        training.pack_sequences(SF, budget=512, bucket_size=16, fanout=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+                   AS n_tokens
+          FROM '{SF}/documents.parquet'
+        )
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS start_tok
+        FROM tok ORDER BY doc_id
+        """
+    ).df()
+    assert list(got["start_tok"]) == list(want["start_tok"])
+    assert list(got["seq_id"]) == [s // 512 for s in want["start_tok"]]
+    # packing invariant: consecutive docs tile the token stream exactly
+    nxt = got["start_tok"].shift(-1).dropna().astype(int)
+    assert (nxt.values == (got["start_tok"] + got["n_tokens"]).values[:-1]).all()
+
+
+def test_stratified_sample_rates(ray_session):
+    got = training.stratified_sample(SF).to_pandas()
+    assert ((got["doc_id"] % 100) < got["lang"].map(training.SAMPLE_RATES)).all()
+
+
+def test_domain_stats_covers_all_domains(ray_session):
+    got = training.domain_stats(SF).to_pandas()
+    assert len(got) == 97
+    assert int(got["n_docs"].sum()) == 500
+    assert set(got["domain"].str.extract(r"^site(\d+)\.example$", expand=False).astype(int)) == set(range(97))
