@@ -342,6 +342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": training.domain_stats,
         "stratified_sample": training.stratified_sample,
         "pack_sequences": training.pack_sequences,
+        "dup_ngram_mass": training.dup_ngram_mass,
+        "vocab_stats": training.vocab_stats,
+        "blocklist_filter": training.blocklist_filter,
     }
 
 
@@ -1090,5 +1093,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, start_tok,
                    CAST(start_tok // 512 AS BIGINT) AS seq_id
             FROM scanned
+        """,
+        # cross-doc duplicated 8-gram mass rebuilt on the gram STRINGS
+        # (the engine shuffles 128-bit gram hashes; identical result
+        # absent a blake2b collision)
+        "dup_ngram_mass": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(ts) - 7),
+                       i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                         || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' '
+                         || ts[i+6] || ' ' || ts[i+7])) AS gram
+              FROM tok
+            ),
+            dup AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING COUNT(DISTINCT doc_id) >= 2
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+            FROM g JOIN dup USING (gram) GROUP BY doc_id
+        """,
+        "vocab_stats": """
+            SELECT w AS word,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (
+              SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS w
+              FROM documents
+            ) GROUP BY 1
+        """,
+        # blocklist = domains site{k}.example with k % 7 = 0
+        "blocklist_filter": """
+            SELECT doc_id,
+                   'site' || (doc_id % 97) || '.example' AS domain
+            FROM documents
+            WHERE (doc_id % 97) % 7 <> 0
         """,
     }

@@ -54,6 +54,8 @@ BENCH_QUERIES = (
     "gopher_repetition",
     "domain_stats",
     "pack_sequences",
+    "dup_ngram_mass",
+    "vocab_stats",
 )
 
 

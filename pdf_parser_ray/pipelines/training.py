@@ -200,6 +200,166 @@ def stratified_sample(sf_dir: str):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+# -- cross-document duplicated n-gram mass ----------------------------------
+
+
+class NGramEmitter:
+    """Emit one row per distinct (gram, doc) with its in-doc count —
+    the in-batch partial for the duplicated-substring scan. Grams ride
+    the shuffle as a 128-bit blake2b key (16 B/row instead of the gram
+    string); each doc lives in exactly one batch, so (gram, doc) rows
+    are already globally unique after this stage."""
+
+    def __init__(self, n: int = 8):
+        self.n = n
+        self.word = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import blake2b128_of_strings
+
+        ids, grams, counts = [], [], []
+        for doc_id, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = self.word.findall(t)
+            c = Counter(
+                " ".join(toks[i : i + self.n])
+                for i in range(len(toks) - self.n + 1)
+            )
+            ids.extend([doc_id] * len(c))
+            grams.extend(c.keys())
+            counts.extend(c.values())
+        h1, h2 = blake2b128_of_strings(pa.array(grams, pa.string()))
+        return pa.table(
+            {
+                "g1": pa.array(h1, pa.int64()),
+                "g2": pa.array(h2, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "c": pa.array(counts, pa.int64()),
+            }
+        )
+
+
+def dup_ngram_mass(sf_dir: str, n: int = 8):
+    """Cross-document duplicated n-gram mass per doc — the signal
+    behind exact substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for each doc, the
+    number of n-gram positions whose n-gram also occurs in at least
+    one OTHER document.
+
+    Join-free aggregate-only plan (a per-gram map_groups would be
+    interpreter-bound over millions of tiny groups, and a hash join
+    back onto the gram rows doubles the shuffle):
+
+        dup_mass(doc) = total_positions(doc) - unique_gram_mass(doc)
+
+    where a gram's (doc, count) is recoverable from its group's native
+    aggregates WHEN the group has exactly one member (Count==1 =>
+    Min(doc_id) IS the doc, Sum(c) IS its count). Both per-doc partial
+    sums then combine through one signed union + Sum. The gram rows
+    are materialized once so the two consumers don't re-tokenize; at
+    fleet scale stage them to parquet instead."""
+    import ray.data
+    from ray.data.aggregate import Count, Min, Sum
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    emitted = ds.map_batches(
+        lambda b, _n=n: NGramEmitter(_n)(b),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # + total gram positions per doc
+    totals = emitted.groupby("doc_id").aggregate(Sum("c", alias_name="m"))
+
+    # - mass of grams unique to one doc (single-member gram groups)
+    gram_agg = emitted.groupby(["g1", "g2"]).aggregate(
+        Count(alias_name="n_docs"),
+        Min("doc_id", alias_name="min_doc"),
+        Sum("c", alias_name="sum_c"),
+    )
+
+    def negate_unique(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["n_docs"], pa.scalar(1, pa.int64())))
+        return pa.table(
+            {
+                "doc_id": t["min_doc"],
+                "m": pc.negate_checked(t["sum_c"]),
+            }
+        )
+
+    signed = totals.union(
+        gram_agg.map_batches(negate_unique, batch_format="pyarrow")
+    )
+    result = signed.groupby("doc_id").aggregate(Sum("m", alias_name="n_dup_grams"))
+
+    def drop_zero(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["n_dup_grams"], pa.scalar(0, pa.int64())))
+
+    return result.map_batches(drop_zero, batch_format="pyarrow")
+
+
+# -- corpus vocabulary / document-frequency stats ----------------------------
+
+
+def vocab_stats(sf_dir: str):
+    """Corpus-level term statistics (the tf-idf precursor): per word,
+    document frequency and total term frequency. In-batch partial
+    collapses to distinct (word, doc) rows, so the global groupby can
+    use native Count (= df, rows are distinct docs) + Sum (= tf)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    word_re = re.compile(TOKEN_RE)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words, tfs = [], []
+        for t in batch["text"].to_pylist():
+            c = Counter(word_re.findall(t))
+            words.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Count(alias_name="df"), Sum("tf", alias_name="tf"))
+    )
+
+
+# -- URL blocklist filter ----------------------------------------------------
+
+
+def blocklist_filter(sf_dir: str):
+    """URL filtering (the C4/RefinedWeb blocklist step): drop pages
+    whose domain is on a blocklist. The blocklist is broadcast ONCE via
+    ray.put and read inside every task — never re-shipped per batch."""
+    import ray
+    import ray.data
+
+    from ..sources.synth import read_pages
+
+    blocked = frozenset(f"site{k}.example" for k in range(0, 97, 7))
+    blocked_ref = ray.put(blocked)
+
+    ds = read_pages(sf_dir, columns=["url"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        bl = ray.get(blocked_ref)
+        parts = pc.split_pattern(t["url"], "/")
+        dom = pc.list_element(parts, 2)
+        ids = pc.cast(pc.list_element(parts, 4), pa.int64())
+        mask = pa.array([d not in bl for d in dom.to_pylist()], pa.bool_())
+        return pa.table({"doc_id": ids, "domain": dom}).filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # -- sequence packing (distributed prefix sum) ------------------------------
 
 

@@ -84,6 +84,76 @@ def test_stratified_sample_rates(ray_session):
     assert ((got["doc_id"] % 100) < got["lang"].map(training.SAMPLE_RATES)).all()
 
 
+def test_ngram_emitter_hand_case():
+    batch = pa.table(
+        {"doc_id": pa.array([1], pa.int64()),
+         "text": ["a b c d e f g h i"]}
+    )
+    out = training.NGramEmitter(8)(batch)
+    # 9 tokens -> two 8-gram positions, both distinct
+    assert len(out) == 2
+    assert out["c"].to_pylist() == [1, 1]
+    assert out["doc_id"].to_pylist() == [1, 1]
+
+
+def test_dup_ngram_mass_cross_doc(ray_session, tmp_path):
+    import duckdb
+    import ray.data
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "a b c d e f g h i",      # grams: a..h, b..i
+                "x a b c d e f g h",      # grams: x..g, a..h (shared)
+                "q r s t u v w x y z",    # no shared grams
+            ],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": pa.array([17, 17, 19], pa.int64()),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = (
+        training.dup_ngram_mass(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [1, 2]
+    assert list(got["n_dup_grams"]) == [1, 1]
+
+
+def test_vocab_stats_matches_counter(ray_session):
+    from collections import Counter
+    import re
+
+    import pyarrow.parquet as pq
+
+    got = training.vocab_stats(SF).to_pandas().set_index("word")
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    word = re.compile(r"[A-Za-z0-9]+")
+    tf, df = Counter(), Counter()
+    for t in texts:
+        toks = word.findall(t)
+        tf.update(toks)
+        df.update(set(toks))
+    assert dict(got["tf"]) == dict(tf)
+    assert dict(got["df"]) == dict(df)
+
+
+def test_blocklist_filter_drops_blocked_domains(ray_session):
+    got = training.blocklist_filter(SF).to_pandas()
+    ks = got["domain"].str.extract(r"^site(\d+)\.example$", expand=False).astype(int)
+    assert (ks % 7 != 0).all()
+    assert ((got["doc_id"] % 97) % 7 != 0).all()
+    assert len(got) == 427  # 500 - 73 blocked
+
+
 def test_domain_stats_covers_all_domains(ray_session):
     got = training.domain_stats(SF).to_pandas()
     assert len(got) == 97
