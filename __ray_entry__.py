@@ -345,6 +345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_mass": training.dup_ngram_mass,
         "vocab_stats": training.vocab_stats,
         "blocklist_filter": training.blocklist_filter,
+        "bpe_token_counts": training.bpe_token_counts,
+        "shuffle_assignment": training.shuffle_assignment,
     }
 
 
@@ -1126,6 +1128,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS w
               FROM documents
             ) GROUP BY 1
+        """,
+        "bpe_token_counts": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text,
+                        ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        # the reproducible-shuffle key (FNV-1a64 of the doc id string)
+        # recomputed in SQL; in-shard position via row_number over the
+        # same unsigned-key order (the engine's signed shift is a
+        # monotonic remap, so the orders agree)
+        "shuffle_assignment": """
+            WITH k AS (
+              SELECT doc_id, """
+        + _FNV64_SQL.replace("<S>", "CAST(doc_id AS VARCHAR)")
+        + """ AS key
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(key % 64 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                        PARTITION BY key % 64 ORDER BY key, doc_id
+                   ) AS BIGINT) AS pos
+            FROM k
         """,
         # blocklist = domains site{k}.example with k % 7 = 0
         "blocklist_filter": """

@@ -200,6 +200,77 @@ def stratified_sample(sf_dir: str):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+# -- BPE-ish pre-tokenizer counting -----------------------------------------
+
+# GPT-2-style pre-tokenizer classes, simplified to stay RE2-compatible
+# (no lookahead) so the DuckDB oracle sees the identical match set:
+# a leading-space word, a leading-space number, or a leading-space
+# punctuation run.
+BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+
+def bpe_token_counts(sf_dir: str):
+    """Token counting under a BPE-ish pre-tokenizer regex (the build
+    mandate's second token-counting mode next to the plain word regex
+    in textstats.token_counts). Vectorized pandas str.count."""
+    import ray.data
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_bpe_tokens": df["text"].str.count(BPE_RE).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pandas")
+
+
+# -- reproducible global shuffle --------------------------------------------
+
+
+def shuffle_assignment(sf_dir: str, n_shards: int = 64):
+    """Deterministic training-data shuffle: every doc gets a shard and
+    an in-shard position from a keyed hash (FNV-1a64 of the doc id) —
+    the reproducible equivalent of random_shuffle that production
+    pipelines use so a re-run emits byte-identical training shards.
+    Shard assignment is a vectorized per-batch map; positions need one
+    sort per shard group (64 groups, each ~n/64 docs)."""
+    import ray.data
+
+    from ..functions.hashing import fnv1a64
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        ks = [fnv1a64(str(i).encode()) for i in batch["doc_id"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "key": pa.array([k - (1 << 63) for k in ks], pa.int64()),
+                "shard": pa.array([k % n_shards for k in ks], pa.int64()),
+            }
+        )
+
+    def position(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "doc_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "shard": g["shard"].astype("int64"),
+                "pos": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(position, batch_format="pandas")
+    )
+
+
 # -- cross-document duplicated n-gram mass ----------------------------------
 
 

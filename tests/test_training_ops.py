@@ -154,6 +154,28 @@ def test_blocklist_filter_drops_blocked_domains(ray_session):
     assert len(got) == 427  # 500 - 73 blocked
 
 
+def test_bpe_token_counts_hand_case():
+    s = pd.Series(["hello, world 42", ""])
+    # "hello" + "," + " world" + " 42" -> 4 pre-tokens
+    assert list(s.str.count(training.BPE_RE)) == [4, 0]
+
+
+def test_shuffle_assignment_positions(ray_session):
+    from pdf_parser_ray.functions.hashing import fnv1a64
+
+    got = training.shuffle_assignment(SF).to_pandas()
+    assert len(got) == 500
+    assert set(got["shard"]) <= set(range(64))
+    # each shard's positions are exactly 1..n in FNV-key order
+    for shard, g in got.groupby("shard"):
+        keys = [fnv1a64(str(i).encode()) for i in g["doc_id"]]
+        assert all(k % 64 == shard for k in keys)
+        order = [d for _, d in sorted(zip(keys, g["doc_id"]))]
+        by_pos = list(g.sort_values("pos")["doc_id"])
+        assert by_pos == order
+        assert sorted(g["pos"]) == list(range(1, len(g) + 1))
+
+
 def test_domain_stats_covers_all_domains(ray_session):
     got = training.domain_stats(SF).to_pandas()
     assert len(got) == 97
