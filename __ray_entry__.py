@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_filter": training.blocklist_filter,
         "bpe_token_counts": training.bpe_token_counts,
         "shuffle_assignment": training.shuffle_assignment,
+        "decontaminate": training.decontaminate,
     }
 
 
@@ -1119,6 +1120,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams
             FROM g JOIN dup USING (gram) GROUP BY doc_id
+        """,
+        # contamination = corpus-doc 8-gram positions whose gram also
+        # occurs in the eval slice (doc_id % 41 = 0)
+        "decontaminate": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(ts) - 7),
+                       i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                         || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' '
+                         || ts[i+6] || ' ' || ts[i+7])) AS gram
+              FROM tok
+            ),
+            ev AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
+            FROM g JOIN ev USING (gram)
+            WHERE doc_id % 41 <> 0
+            GROUP BY doc_id
         """,
         "vocab_stats": """
             SELECT w AS word,

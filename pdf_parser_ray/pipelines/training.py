@@ -369,6 +369,76 @@ def dup_ngram_mass(sf_dir: str, n: int = 8):
     return result.map_batches(drop_zero, batch_format="pyarrow")
 
 
+# -- benchmark decontamination ----------------------------------------------
+
+
+def decontaminate(sf_dir: str, n: int = 8):
+    """Benchmark decontamination: count, for every training doc, the
+    n-gram positions whose n-gram also appears in the held-out eval
+    set (docs with ``doc_id % 41 == 0`` stand in for a benchmark).
+
+    The eval side of a decontamination pass is small by nature
+    (benchmarks are thousands of docs, the corpus is trillions), so the
+    production shape is: build the eval gram-hash set ONCE (distributed
+    scan of the eval slice, hashes pulled to the driver — bounded by
+    eval size, not corpus size), broadcast it via one ``ray.put``, and
+    stream the corpus against it with a vectorized membership test.
+    No shuffle touches the corpus at all."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    # modulo isn't a pyarrow dataset-expression kernel, so the eval/
+    # corpus split is a vectorized in-batch filter over the pruned
+    # (doc_id, text) read (x - (x//41)*41 — the pc.modulo workaround)
+    def _mod41(ids: pa.ChunkedArray) -> pa.ChunkedArray:
+        q = pc.divide(ids, pa.scalar(41, pa.int64()))
+        return pc.subtract(ids, pc.multiply(q, pa.scalar(41, pa.int64())))
+
+    def _slice(is_eval: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.equal(_mod41(t["doc_id"]), pa.scalar(0, pa.int64()))
+            return t.filter(m if is_eval else pc.invert(m))
+
+        return f
+
+    base = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    eval_ds = base.map_batches(_slice(True), batch_format="pyarrow")
+    emitter = NGramEmitter(n)
+    eval_grams = set()
+    for b in eval_ds.map_batches(emitter, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        eval_grams.update(zip(b["g1"].to_pylist(), b["g2"].to_pylist()))
+    grams_ref = ray.put(frozenset(eval_grams))
+
+    corpus = base.map_batches(_slice(False), batch_format="pyarrow")
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ev = ray.get(grams_ref)
+        rows = emitter(batch)
+        keep = pa.array(
+            [
+                (g1, g2) in ev
+                for g1, g2 in zip(rows["g1"].to_pylist(), rows["g2"].to_pylist())
+            ],
+            pa.bool_(),
+        )
+        hit = rows.filter(keep)
+        g = (
+            pa.table({"doc_id": hit["doc_id"], "n_contaminated_grams": hit["c"]})
+            .group_by("doc_id")
+            .aggregate([("n_contaminated_grams", "sum")])
+        )
+        return g.rename_columns(["doc_id", "n_contaminated_grams"])
+
+    return (
+        corpus.map_batches(flag, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_contaminated_grams", alias_name="n_contaminated_grams"))
+    )
+
+
 # -- corpus vocabulary / document-frequency stats ----------------------------
 
 

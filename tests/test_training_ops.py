@@ -176,6 +176,29 @@ def test_shuffle_assignment_positions(ray_session):
         assert sorted(g["pos"]) == list(range(1, len(g) + 1))
 
 
+def test_decontaminate_hand_case(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    # doc 0 is eval (0 % 41 == 0); doc 1 shares its 8-gram, doc 2 not
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [
+                "a b c d e f g h",
+                "z a b c d e f g h",   # grams: z..g, a..h (a..h is eval's)
+                "q r s t u v w x y",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": pa.array([15, 17, 17], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = training.decontaminate(str(tmp_path)).to_pandas()
+    assert list(got["doc_id"]) == [1]
+    assert list(got["n_contaminated_grams"]) == [1]
+
+
 def test_domain_stats_covers_all_domains(ray_session):
     got = training.domain_stats(SF).to_pandas()
     assert len(got) == 97
