@@ -24,6 +24,25 @@ def fnv1a64(data: bytes) -> int:
     return h
 
 
+def fnv1a64_of_int_strings(ids: np.ndarray) -> np.ndarray:
+    """Vectorized fnv1a64(str(i).encode()) for an int64 array: one
+    numpy pass per DIGIT POSITION (<= 20) instead of a Python loop per
+    row. uint64 arithmetic wraps natively, matching the & _MASK64."""
+    s = np.char.mod("%d", ids).astype(bytes)
+    width = s.dtype.itemsize
+    view = s.view(np.uint8).reshape(len(s), width)
+    lens = np.char.str_len(s.astype(str)).astype(np.int64)
+    h = np.full(len(s), FNV64_OFFSET, dtype=np.uint64)
+    prime = np.uint64(FNV64_PRIME)
+    for j in range(width):
+        active = lens > j
+        if not active.any():
+            break
+        nh = (h ^ view[:, j].astype(np.uint64)) * prime
+        h = np.where(active, nh, h)
+    return h
+
+
 def _make_crc32_table() -> np.ndarray:
     """IEEE CRC-32 (reflected, poly 0xEDB88320) byte table — the same
     algorithm as ``zlib.crc32`` (verified by tests/hypothesis)."""

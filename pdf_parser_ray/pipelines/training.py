@@ -240,17 +240,20 @@ def shuffle_assignment(sf_dir: str, n_shards: int = 64):
     sort per shard group (64 groups, each ~n/64 docs)."""
     import ray.data
 
-    from ..functions.hashing import fnv1a64
+    from ..functions.hashing import fnv1a64_of_int_strings
 
     ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id"])
 
     def key(batch: pa.Table) -> pa.Table:
-        ks = [fnv1a64(str(i).encode()) for i in batch["doc_id"].to_pylist()]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ks = fnv1a64_of_int_strings(ids)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "key": pa.array([k - (1 << 63) for k in ks], pa.int64()),
-                "shard": pa.array([k % n_shards for k in ks], pa.int64()),
+                "key": pa.array(
+                    (ks - np.uint64(1 << 63)).view(np.int64), pa.int64()
+                ),
+                "shard": pa.array((ks % np.uint64(n_shards)).astype(np.int64)),
             }
         )
 

@@ -160,6 +160,17 @@ def test_bpe_token_counts_hand_case():
     assert list(s.str.count(training.BPE_RE)) == [4, 0]
 
 
+def test_fnv_int_strings_vectorized_equivalence():
+    import numpy as np
+
+    from pdf_parser_ray.functions.hashing import fnv1a64, fnv1a64_of_int_strings
+
+    ids = np.array([0, 1, 9, 10, 99, 12345, 2**31, 2**62], dtype=np.int64)
+    got = fnv1a64_of_int_strings(ids)
+    want = [fnv1a64(str(int(i)).encode()) for i in ids]
+    assert [int(x) for x in got] == want
+
+
 def test_shuffle_assignment_positions(ray_session):
     from pdf_parser_ray.functions.hashing import fnv1a64
 
