@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": training.bpe_token_counts,
         "shuffle_assignment": training.shuffle_assignment,
         "decontaminate": training.decontaminate,
+        "training_mix_pipeline": training.training_mix_pipeline,
     }
 
 
@@ -1095,6 +1096,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens, start_tok,
                    CAST(start_tok // 512 AS BIGINT) AS seq_id
+            FROM scanned
+        """,
+        # composite #2 restated end to end: repetition gate + mixture
+        # sample + exclusive-window packing at budget 256
+        "training_mix_pipeline": """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     regexp_extract_all(text, '[A-Za-z0-9]+') AS ts
+              FROM documents
+            ),
+            uni AS (
+              SELECT doc_id, MAX(c) AS topw FROM (
+                SELECT doc_id, w, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(ts) AS w FROM tok)
+                GROUP BY 1, 2
+              ) GROUP BY 1
+            ),
+            big AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupb
+              FROM (
+                SELECT doc_id, b, COUNT(*) AS c
+                FROM (
+                  SELECT doc_id,
+                         unnest(list_transform(
+                           generate_series(1, len(ts) - 1),
+                           i -> ts[i] || ' ' || ts[i+1])) AS b
+                  FROM tok
+                ) GROUP BY 1, 2
+              ) GROUP BY 1
+            ),
+            gated AS (
+              SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens
+              FROM tok t
+              LEFT JOIN uni ON uni.doc_id = t.doc_id
+              LEFT JOIN big ON big.doc_id = t.doc_id
+              WHERE t.doc_id % 100 < CASE t.lang
+                      WHEN 'en' THEN 50 WHEN 'de' THEN 20
+                      WHEN 'fr' THEN 10 WHEN 'es' THEN 5
+                      WHEN 'zh' THEN 2 ELSE 0 END
+                AND COALESCE(uni.topw, 0) * 8 <= len(ts)
+                AND COALESCE(big.dupb, 0) * 4 <=
+                    CASE WHEN len(ts) >= 2 THEN len(ts) - 1 ELSE 0 END
+            ),
+            scanned AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), 0) AS BIGINT) AS start_tok
+              FROM gated
+            )
+            SELECT doc_id, n_tokens, start_tok,
+                   CAST(start_tok // 256 AS BIGINT) AS seq_id
             FROM scanned
         """,
         # cross-doc duplicated 8-gram mass rebuilt on the gram STRINGS

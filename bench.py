@@ -56,6 +56,8 @@ BENCH_QUERIES = (
     "pack_sequences",
     "dup_ngram_mass",
     "vocab_stats",
+    "training_mix_pipeline",
+    "decontaminate",
 )
 
 

@@ -547,6 +547,14 @@ def pack_sequences(
     # token counts are 3 ints/doc — materialize so the two consumers
     # (bucket sums, final assignment) don't re-read + re-tokenize text
     tokds = ds.map_batches(tok, batch_format="pandas").materialize()
+    return _pack_tokds(tokds, budget, fanout)
+
+
+def _pack_tokds(tokds, budget: int, fanout: int):
+    """The packing core over any (doc_id, n_tokens, bucket) dataset
+    (pandas blocks, buckets ascending in doc_id, gaps allowed)."""
+    import ray.data
+    from ray.data.aggregate import Sum
 
     bucket_sums = tokds.groupby("bucket").aggregate(Sum("n_tokens", alias_name="s"))
 
@@ -618,3 +626,51 @@ def pack_sequences(
         )
 
     return unioned.groupby("bucket").map_groups(assign, batch_format="pandas")
+
+
+# -- composite: quality gate -> mixture sample -> packing -------------------
+
+
+def training_mix_pipeline(
+    sf_dir: str, budget: int = 256, bucket_size: int = 256, fanout: int = 16
+):
+    """Composite training-data prep flagship: Gopher-style repetition
+    gate (top word <= 1/8 of tokens AND duplicate-bigram mass <= 1/4
+    of bigrams) -> per-language mixture sampling -> concat-and-chunk
+    sequence packing, as ONE streaming plan. The gate and sample are
+    per-doc vectorized filters (no shuffle); only the packing prefix
+    sum shuffles, and it only ever carries 3 ints/doc."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        _docs(sf_dir), columns=["doc_id", "text", "lang"]
+    )
+    word_re = re.compile(TOKEN_RE)
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        keep_ids, keep_ntok = [], []
+        rates = df["lang"].map(SAMPLE_RATES).fillna(0).astype("int64")
+        for doc_id, t, rate in zip(df["doc_id"], df["text"], rates):
+            if doc_id % 100 >= rate:
+                continue
+            toks = word_re.findall(t)
+            n = len(toks)
+            top = max(Counter(toks).values()) if toks else 0
+            big = Counter(zip(toks, toks[1:]))
+            nb = n - 1 if n >= 2 else 0
+            dupb = sum(c for c in big.values() if c >= 2)
+            if top * 8 <= n and dupb * 4 <= nb:
+                keep_ids.append(doc_id)
+                keep_ntok.append(n)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(keep_ids, dtype="int64"),
+                "n_tokens": pd.Series(keep_ntok, dtype="int64"),
+                "bucket": pd.Series(
+                    [i // bucket_size for i in keep_ids], dtype="int64"
+                ),
+            }
+        )
+
+    tokds = ds.map_batches(gate, batch_format="pandas").materialize()
+    return _pack_tokds(tokds, budget, fanout)

@@ -210,6 +210,21 @@ def test_decontaminate_hand_case(ray_session, tmp_path):
     assert list(got["n_contaminated_grams"]) == [1]
 
 
+def test_training_mix_pipeline_invariants(ray_session):
+    got = (
+        training.training_mix_pipeline(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # survivors tile the packed token stream exactly
+    nxt = got["start_tok"].shift(-1).dropna().astype(int)
+    assert (nxt.values == (got["start_tok"] + got["n_tokens"]).values[:-1]).all()
+    assert (got["seq_id"] == got["start_tok"] // 256).all()
+    # the gate + sample actually dropped docs
+    assert 0 < len(got) < 500
+
+
 def test_domain_stats_covers_all_domains(ray_session):
     got = training.domain_stats(SF).to_pandas()
     assert len(got) == 97
