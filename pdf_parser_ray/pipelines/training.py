@@ -332,7 +332,13 @@ def dup_ngram_mass(sf_dir: str, n: int = 8):
     Min(doc_id) IS the doc, Sum(c) IS its count). Both per-doc partial
     sums then combine through one signed union + Sum. The gram rows
     are materialized once so the two consumers don't re-tokenize; at
-    fleet scale stage them to parquet instead."""
+    fleet scale stage them to parquet instead.
+
+    Only ONE full-size exchange rides this plan — the per-gram
+    groupby. The per-doc totals and the unique-gram negation are both
+    shrunk to per-doc partial sums INSIDE their batches (pyarrow
+    ``Table.group_by``) before the final signed groupby, whose input
+    is O(docs + docs x blocks) rows, never O(gram rows)."""
     import ray.data
     from ray.data.aggregate import Count, Min, Sum
 
@@ -342,8 +348,21 @@ def dup_ngram_mass(sf_dir: str, n: int = 8):
         batch_format="pyarrow",
     ).materialize()
 
-    # + total gram positions per doc
-    totals = emitted.groupby("doc_id").aggregate(Sum("c", alias_name="m"))
+    def _per_doc_partial(doc_ids, counts, negate: bool) -> pa.Table:
+        g = pa.table({"doc_id": doc_ids, "c": counts}).group_by(
+            "doc_id"
+        ).aggregate([("c", "sum")])
+        m = g["c_sum"]
+        return pa.table(
+            {"doc_id": g["doc_id"], "m": pc.negate_checked(m) if negate else m}
+        )
+
+    # + total gram positions per doc: in-batch partial sum, no shuffle
+    # (the final signed groupby merges partials split across batches)
+    totals = emitted.map_batches(
+        lambda t: _per_doc_partial(t["doc_id"], t["c"], negate=False),
+        batch_format="pyarrow",
+    )
 
     # - mass of grams unique to one doc (single-member gram groups)
     gram_agg = emitted.groupby(["g1", "g2"]).aggregate(
@@ -354,12 +373,7 @@ def dup_ngram_mass(sf_dir: str, n: int = 8):
 
     def negate_unique(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["n_docs"], pa.scalar(1, pa.int64())))
-        return pa.table(
-            {
-                "doc_id": t["min_doc"],
-                "m": pc.negate_checked(t["sum_c"]),
-            }
-        )
+        return _per_doc_partial(t["min_doc"], t["sum_c"], negate=True)
 
     signed = totals.union(
         gram_agg.map_batches(negate_unique, batch_format="pyarrow")
