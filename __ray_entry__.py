@@ -348,6 +348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": training.bpe_token_counts,
         "shuffle_assignment": training.shuffle_assignment,
         "decontaminate": training.decontaminate,
+        "rare_token_mass": training.rare_token_mass,
+        "line_dedup": training.line_dedup,
         "training_mix_pipeline": training.training_mix_pipeline,
     }
 
@@ -1241,5 +1243,59 @@ def oracle_sql() -> dict[str, str]:
                    'site' || (doc_id % 97) || '.example' AS domain
             FROM documents
             WHERE (doc_id % 97) % 7 <> 0
+        """,
+        # rarity gate: token positions whose corpus-wide tf < 5, over
+        # the injected text (same concat the engine applies)
+        "rare_token_mass": """
+            WITH injected AS (
+              SELECT doc_id,
+                     text || ' tok' || CAST(doc_id AS VARCHAR)
+                          || ' mid' || CAST(doc_id % 50 AS VARCHAR) AS text
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS w
+              FROM injected
+            ),
+            vocab AS (SELECT w, COUNT(*) AS tf FROM toks GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.tf < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_rare
+            FROM toks t JOIN vocab v USING (w)
+            GROUP BY 1
+        """,
+        # cross-doc line dedup over the injected 4-line docs: a line in
+        # >= 3 distinct docs is boilerplate and dropped everywhere
+        "line_dedup": """
+            WITH injected AS (
+              SELECT doc_id,
+                     text
+                       || chr(10) || 'footer ' || CAST(doc_id % 7 AS VARCHAR)
+                       || chr(10) || 'banner ' || CAST(doc_id % 3 AS VARCHAR)
+                       || chr(10) || 'sig ' || CAST(doc_id AS VARCHAR) AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(1, length(string_split(text, chr(10))) + 1))
+                         AS ord
+              FROM injected
+            ),
+            boiler AS (
+              SELECT line FROM lines GROUP BY 1
+              HAVING COUNT(DISTINCT doc_id) >= 3
+            )
+            SELECT l.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN b.line IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
+                   COALESCE(string_agg(
+                       CASE WHEN b.line IS NULL THEN l.line END,
+                       chr(10) ORDER BY l.ord), '') AS text_clean
+            FROM lines l LEFT JOIN boiler b ON l.line = b.line
+            GROUP BY 1
         """,
     }

@@ -688,3 +688,194 @@ def training_mix_pipeline(
 
     tokds = ds.map_batches(gate, batch_format="pandas").materialize()
     return _pack_tokds(tokds, budget, fanout)
+
+
+# -- corpus-frequency rarity filter (CCNet-style LM rarity proxy) ------------
+
+
+def rare_token_mass(sf_dir: str, threshold: int = 5):
+    """Per-doc count of token positions whose corpus-wide term
+    frequency is below ``threshold`` — the integer-exact core of a
+    CCNet-style rarity/quality gate (Wenzek et al. 2020 score docs by
+    LM perplexity; corpus-frequency rarity is the model-free analog,
+    and integer counts keep the oracle bit-exact where a float log
+    score would not be).
+
+    Scale shape: the membership side that gets broadcast is the
+    COMMON vocabulary (tf >= threshold), whose size is provably
+    <= total_tokens / threshold — bounded by construction, unlike the
+    rare side which grows with corpus size (hapax legomena). One
+    ``ray.put`` of that set; the corpus itself never shuffles:
+    n_rare(doc) = n_tokens(doc) - n_common(doc).
+
+    The base corpus vocabulary is a small closed word pool, so the
+    pipeline first injects two deterministic SQL-restatable tokens per
+    doc (``tok<doc_id>`` — a hapax, ``mid<doc_id%50>`` — common) the
+    same way pii_redact injects its spans."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    word_re = re.compile(TOKEN_RE)
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        txt = [
+            f"{s} tok{i} mid{i % 50}"
+            for s, i in zip(t["text"].to_pylist(), ids)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(txt, pa.string()),
+            }
+        )
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    injected = ds.map_batches(inject, batch_format="pyarrow")
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        words, tfs = [], []
+        for t in batch["text"].to_pylist():
+            c = Counter(word_re.findall(t))
+            words.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    vocab = (
+        injected.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+
+    def keep_common(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t["tf"], pa.scalar(threshold, pa.int64()))
+        ).select(["word"])
+
+    common_rows = vocab.map_batches(
+        keep_common, batch_format="pyarrow"
+    ).take_all()  # bounded: <= total_tokens / threshold rows
+    common_ref = ray.put(frozenset(r["word"] for r in common_rows))
+
+    def score(batch: pa.Table) -> pa.Table:
+        common = ray.get(common_ref)
+        ids, n_toks, n_rare = [], [], []
+        for doc_id, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            c = Counter(word_re.findall(t))
+            n = sum(c.values())
+            n_common = sum(v for w, v in c.items() if w in common)
+            ids.append(doc_id)
+            n_toks.append(n)
+            n_rare.append(n - n_common)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "n_rare": pa.array(n_rare, pa.int64()),
+            }
+        )
+
+    return injected.map_batches(score, batch_format="pyarrow")
+
+
+# -- cross-document line dedup (RefinedWeb/CCNet boilerplate removal) --------
+
+
+def line_dedup(sf_dir: str, min_docs: int = 3):
+    """Cross-document line-level dedup (the RefinedWeb §3.2 /
+    CCNet-paragraph boilerplate step): a line whose exact content
+    appears in >= ``min_docs`` DISTINCT documents is boilerplate and is
+    removed from every document. Returns per doc: total line count,
+    kept line count, and the cleaned text.
+
+    The corpus text is single-line, so the pipeline injects three
+    deterministic SQL-restatable lines per doc: ``footer <id%7>`` and
+    ``banner <id%3>`` (shared across many docs -> removed) and
+    ``sig <id>`` (unique -> kept).
+
+    Plan: (1) per doc emit DISTINCT line hashes (128-bit blake2b, 16
+    B/row — content never rides the shuffle), groupby hash with native
+    Count (rows are distinct docs, so Count == doc frequency), filter
+    to >= min_docs; (2) the surviving boilerplate set is broadcast once
+    via ``ray.put`` and each doc filters its lines locally. The
+    broadcast side is the BOILERPLATE set — lines repeated across
+    >= min_docs docs — which is corpus-vocabulary-bounded in practice;
+    at 100 TB swap the frozenset for a bloom filter or a co-shuffled
+    semi-join (same shape as dedup._cogroup_pair_payloads)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import blake2b128_of_strings
+
+    def inject_lines(t: pa.Table) -> list[tuple[int, list[str]]]:
+        return [
+            (i, [s, f"footer {i % 7}", f"banner {i % 3}", f"sig {i}"])
+            for s, i in zip(t["text"].to_pylist(), t["doc_id"].to_pylist())
+        ]
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+
+    def distinct_line_hashes(batch: pa.Table) -> pa.Table:
+        ids, lines = [], []
+        for doc_id, ls in inject_lines(batch):
+            uniq = set(ls)
+            ids.extend([doc_id] * len(uniq))
+            lines.extend(uniq)
+        h1, h2 = blake2b128_of_strings(pa.array(lines, pa.string()))
+        return pa.table(
+            {
+                "h1": pa.array(h1, pa.int64()),
+                "h2": pa.array(h2, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    df_agg = (
+        ds.map_batches(distinct_line_hashes, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+    def keep_boiler(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t["n_docs"], pa.scalar(min_docs, pa.int64()))
+        ).select(["h1", "h2"])
+
+    boiler_rows = df_agg.map_batches(
+        keep_boiler, batch_format="pyarrow"
+    ).take_all()
+    boiler_ref = ray.put(frozenset((r["h1"], r["h2"]) for r in boiler_rows))
+
+    def strip(batch: pa.Table) -> pa.Table:
+        boiler = ray.get(boiler_ref)
+        ids, n_lines, n_kept, cleaned = [], [], [], []
+        for doc_id, ls in inject_lines(batch):
+            h1, h2 = blake2b128_of_strings(pa.array(ls, pa.string()))
+            kept = [
+                s
+                for s, a, b in zip(ls, h1.tolist(), h2.tolist())
+                if (a, b) not in boiler
+            ]
+            ids.append(doc_id)
+            n_lines.append(len(ls))
+            n_kept.append(len(kept))
+            cleaned.append("\n".join(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "text_clean": pa.array(cleaned, pa.string()),
+            }
+        )
+
+    return ds.map_batches(strip, batch_format="pyarrow")

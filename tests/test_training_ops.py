@@ -230,3 +230,47 @@ def test_domain_stats_covers_all_domains(ray_session):
     assert len(got) == 97
     assert int(got["n_docs"].sum()) == 500
     assert set(got["domain"].str.extract(r"^site(\d+)\.example$", expand=False).astype(int)) == set(range(97))
+
+
+def test_rare_token_mass_hand_case(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    # 'common' appears 6x (>= threshold 5); everything else is rare.
+    # injection adds tok<i> (hapax, rare) and mid<i%50> per doc.
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "common common common rareword",
+                "common common othertoken",
+                "common xyz",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": pa.array([30, 24, 10], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = (
+        training.rare_token_mass(str(tmp_path), threshold=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # per doc after injection: +2 tokens (tok<i>, mid<i%50>), both rare
+    # (each appears once in this 3-doc corpus)
+    assert list(got["n_tokens"]) == [6, 5, 4]
+    assert list(got["n_rare"]) == [3, 3, 3]
+
+
+def test_line_dedup_boilerplate_removed(ray_session):
+    got = training.line_dedup(SF).to_pandas()
+    assert (got["n_lines"] == 4).all()
+    # footer (500/7 docs each) and banner (500/3) are always
+    # boilerplate at >= 3 docs; 'sig <id>' is always kept
+    assert got["text_clean"].str.contains("sig ").all()
+    assert not got["text_clean"].str.contains("footer").any()
+    assert not got["text_clean"].str.contains("banner").any()
+    # kept = sig + (base text unless that exact text appears in >= 3 docs)
+    assert got["n_kept"].between(1, 2).all()
+    assert (got["n_kept"] >= 1).all()
