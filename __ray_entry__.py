@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": training.decontaminate,
         "rare_token_mass": training.rare_token_mass,
         "line_dedup": training.line_dedup,
+        "normalize_text": training.normalize_text,
         "training_mix_pipeline": training.training_mix_pipeline,
     }
 
@@ -1196,12 +1197,17 @@ def oracle_sql() -> dict[str, str]:
             ),
             ev AS (
               SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0
+            ),
+            hits AS (
+              SELECT doc_id, COUNT(*) AS n
+              FROM g JOIN ev USING (gram)
+              WHERE doc_id % 41 <> 0
+              GROUP BY doc_id
             )
-            SELECT doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
-            FROM g JOIN ev USING (gram)
-            WHERE doc_id % 41 <> 0
-            GROUP BY doc_id
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_grams
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 41 <> 0
         """,
         "vocab_stats": """
             SELECT w AS word,
@@ -1297,5 +1303,27 @@ def oracle_sql() -> dict[str, str]:
                        chr(10) ORDER BY l.ord), '') AS text_clean
             FROM lines l LEFT JOIN boiler b ON l.line = b.line
             GROUP BY 1
+        """,
+        # NFC + whitespace collapse over the injected non-ASCII suffix;
+        # DuckDB nfc_normalize and Arrow utf8_normalize are both
+        # Unicode-standard NFC, so the comparison is byte-exact
+        "normalize_text": """
+            WITH injected AS (
+              SELECT doc_id,
+                     text || '  cafe' || chr(769) || chr(9) || ' x'
+                          || CAST(doc_id % 10 AS VARCHAR) AS inj
+              FROM documents
+            ),
+            cleaned AS (
+              SELECT doc_id, inj,
+                     trim(regexp_replace(nfc_normalize(inj),
+                          '[ \t]+', ' ', 'g'), ' ') AS clean
+              FROM injected
+            )
+            SELECT doc_id,
+                   CAST(length(inj) AS BIGINT) AS n_chars_raw,
+                   CAST(length(clean) AS BIGINT) AS n_chars_norm,
+                   clean AS text_norm
+            FROM cleaned
         """,
     }

@@ -58,6 +58,8 @@ BENCH_QUERIES = (
     "vocab_stats",
     "training_mix_pipeline",
     "decontaminate",
+    "rare_token_mass",
+    "line_dedup",
 )
 
 

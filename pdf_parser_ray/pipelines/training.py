@@ -390,9 +390,14 @@ def dup_ngram_mass(sf_dir: str, n: int = 8):
 
 
 def decontaminate(sf_dir: str, n: int = 8):
-    """Benchmark decontamination: count, for every training doc, the
-    n-gram positions whose n-gram also appears in the held-out eval
-    set (docs with ``doc_id % 41 == 0`` stand in for a benchmark).
+    """Benchmark decontamination: annotate EVERY training doc with the
+    count of n-gram positions whose n-gram also appears in the held-out
+    eval set (docs with ``doc_id % 41 == 0`` stand in for a benchmark);
+    clean docs get 0. Emitting a row per corpus doc (not only per hit)
+    is both the useful shape — downstream gates filter on the column —
+    and deliberately never-empty: a fully-empty Ray Dataset loses its
+    schema through ``to_pandas()`` (the aggregate emits zero blocks),
+    which breaks any schema check on a clean corpus.
 
     The eval side of a decontamination pass is small by nature
     (benchmarks are thousands of docs, the corpus is trillions), so the
@@ -400,10 +405,11 @@ def decontaminate(sf_dir: str, n: int = 8):
     scan of the eval slice, hashes pulled to the driver — bounded by
     eval size, not corpus size), broadcast it via one ``ray.put``, and
     stream the corpus against it with a vectorized membership test.
-    No shuffle touches the corpus at all."""
+    Each doc's grams live in exactly one batch, so the per-batch
+    group-count is already final — the corpus is never shuffled at
+    all (the old per-hit groupby Sum is gone)."""
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
     # modulo isn't a pyarrow dataset-expression kernel, so the eval/
     # corpus split is a vectorized in-batch filter over the pruned
@@ -443,17 +449,24 @@ def decontaminate(sf_dir: str, n: int = 8):
         )
         hit = rows.filter(keep)
         g = (
-            pa.table({"doc_id": hit["doc_id"], "n_contaminated_grams": hit["c"]})
+            pa.table({"doc_id": hit["doc_id"], "n": hit["c"]})
             .group_by("doc_id")
-            .aggregate([("n_contaminated_grams", "sum")])
+            .aggregate([("n", "sum")])
         )
-        return g.rename_columns(["doc_id", "n_contaminated_grams"])
+        # left-join back onto the batch's docs: clean docs count 0
+        out = pa.table({"doc_id": pc.cast(batch["doc_id"], pa.int64())}).join(
+            g, "doc_id", join_type="left outer"
+        )
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "n_contaminated_grams": pc.cast(
+                    pc.fill_null(out["n_sum"], 0), pa.int64()
+                ),
+            }
+        )
 
-    return (
-        corpus.map_batches(flag, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("n_contaminated_grams", alias_name="n_contaminated_grams"))
-    )
+    return corpus.map_batches(flag, batch_format="pyarrow")
 
 
 # -- corpus vocabulary / document-frequency stats ----------------------------
@@ -879,3 +892,65 @@ def line_dedup(sf_dir: str, min_docs: int = 3):
         )
 
     return ds.map_batches(strip, batch_format="pyarrow")
+
+
+# -- unicode normalization (NFC + whitespace collapse) ------------------------
+
+
+def normalize_text(sf_dir: str):
+    """Unicode text normalization — the first cleanup pass every
+    webtext pipeline runs before tokenization: NFC-normalize (combining
+    marks -> precomposed codepoints), collapse space/tab runs to one
+    space, trim. Injection, whitespace collapse, trim and the length
+    columns are Arrow kernels (``replace_substring_regex`` is RE2); the
+    NFC step itself is ``unicodedata.normalize`` per string because
+    pyarrow's ``utf8_normalize`` (utf8proc) does NOT recompose
+    e+U+0301 -> U+00E9 while DuckDB's ``nfc_normalize`` does — the
+    stdlib implements standard NFC composition, matching DuckDB
+    byte-exactly. No shuffle anywhere in the stage.
+
+    The base corpus is ASCII-only, so a deterministic SQL-restatable
+    non-ASCII suffix is injected first (``cafe`` + COMBINING ACUTE
+    U+0301, a tab run, and a per-doc digit), exactly the inject_pii
+    pattern. The oracle recomputes with DuckDB's ``nfc_normalize`` —
+    both sides are Unicode-standard NFC, so the match is byte-exact."""
+    import ray.data
+
+    def norm(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        digit = pc.cast(
+            pc.subtract(
+                ids, pc.multiply(pc.divide(ids, pa.scalar(10, pa.int64())),
+                                 pa.scalar(10, pa.int64()))
+            ),
+            pa.string(),
+        )
+        injected = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(
+                t["text"], pa.scalar("caf" + "e" + "́" + "\t"), "  "
+            ),
+            digit,
+            " x",
+        )
+        n_raw = pc.utf8_length(injected)
+        import unicodedata
+
+        nfc = pa.array(
+            [unicodedata.normalize("NFC", s) for s in injected.to_pylist()],
+            pa.string(),
+        )
+        collapsed = pc.replace_substring_regex(
+            nfc, pattern=r"[ \t]+", replacement=" "
+        )
+        clean = pc.utf8_trim(collapsed, " ")
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_chars_raw": pc.cast(n_raw, pa.int64()),
+                "n_chars_norm": pc.cast(pc.utf8_length(clean), pa.int64()),
+                "text_norm": clean,
+            }
+        )
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(norm, batch_format="pyarrow")

@@ -205,9 +205,15 @@ def test_decontaminate_hand_case(ray_session, tmp_path):
         }
     )
     pq.write_table(docs, str(tmp_path / "documents.parquet"))
-    got = training.decontaminate(str(tmp_path)).to_pandas()
-    assert list(got["doc_id"]) == [1]
-    assert list(got["n_contaminated_grams"]) == [1]
+    got = (
+        training.decontaminate(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # every corpus (non-eval) doc gets a row; clean docs count 0
+    assert list(got["doc_id"]) == [1, 2]
+    assert list(got["n_contaminated_grams"]) == [1, 0]
 
 
 def test_training_mix_pipeline_invariants(ray_session):
@@ -274,3 +280,24 @@ def test_line_dedup_boilerplate_removed(ray_session):
     # kept = sig + (base text unless that exact text appears in >= 3 docs)
     assert got["n_kept"].between(1, 2).all()
     assert (got["n_kept"] >= 1).all()
+
+
+def test_normalize_text_nfc_and_whitespace(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([3], pa.int64()),
+            "text": ["hello   world"],
+            "lang": ["en"],
+            "source": ["t"],
+            "n_chars": pa.array([13], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = training.normalize_text(str(tmp_path)).to_pandas()
+    # injected: 'hello   world' + '  cafe' + U+0301 + tab + ' x3'
+    assert got["text_norm"][0] == "hello world café x3"
+    # NFC composes e+combining (-1), collapse removes 4 extra spaces/tab
+    assert got["n_chars_raw"][0] == len("hello   world") + 11
+    assert got["n_chars_norm"][0] == len("hello world café x3")
