@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         relational,
         similarity,
+        sketch,
         textstats,
         training,
     )
@@ -351,6 +352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_token_mass": training.rare_token_mass,
         "line_dedup": training.line_dedup,
         "normalize_text": training.normalize_text,
+        "kmv_distinct_tokens": sketch.kmv_distinct_tokens,
+        "tfidf_top_terms": training.tfidf_top_terms,
         "training_mix_pipeline": training.training_mix_pipeline,
     }
 
@@ -1303,6 +1306,73 @@ def oracle_sql() -> dict[str, str]:
                        chr(10) ORDER BY l.ord), '') AS text_clean
             FROM lines l LEFT JOIN boiler b ON l.line = b.line
             GROUP BY 1
+        """,
+        # integer-exact tf-idf surrogate: score = tf * 10^12 // df
+        # (truncating division on both sides), ties by word; top-3
+        # terms per document via a window
+        "tfidf_top_terms": """
+            WITH tf AS (
+              SELECT doc_id, w AS word, COUNT(*) AS tf
+              FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS w
+                FROM documents
+              ) GROUP BY 1, 2
+            ),
+            df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+            s AS (
+              SELECT doc_id, word, tf, df,
+                     tf::HUGEINT * 1000000000000::HUGEINT // df AS score
+              FROM tf JOIN df USING (word)
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, word ASC) AS rn
+              FROM s
+            )
+            SELECT doc_id, word,
+                   CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df,
+                   CAST(score AS BIGINT) AS score_scaled,
+                   CAST(rn AS BIGINT) AS rank
+            FROM r WHERE rn <= 3
+        """,
+        # KMV distinct-count sketch restated exactly: FNV-1a64 per
+        # distinct (lang, token), k smallest per lang via row_number,
+        # integer estimator (k-1)*2^64 / kth in HUGEINT (truncating
+        # division on both sides; exact count when fewer than k)
+        "kmv_distinct_tokens": """
+            WITH tok AS (
+              SELECT lang,
+                     unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS w
+              FROM documents
+            ),
+            dw AS (SELECT DISTINCT lang, w FROM tok),
+            h AS (
+              SELECT DISTINCT lang, """
+        + _FNV64_SQL.replace("<S>", "w")
+        + """ AS hv
+              FROM dw
+            ),
+            r AS (
+              SELECT lang, hv,
+                     row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+              FROM h
+            ),
+            top AS (SELECT lang, hv FROM r WHERE rn <= 128)
+            SELECT lang,
+                   CAST(128 AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(MAX(hv) - 9223372036854775808::HUGEINT AS BIGINT)
+                       AS kth_hash_signed,
+                   CAST(CASE WHEN COUNT(*) < 128 THEN COUNT(*)
+                             ELSE LEAST(
+                               127::HUGEINT * 18446744073709551616::HUGEINT
+                                 // MAX(hv),
+                               9223372036854775807::HUGEINT)
+                        END AS BIGINT) AS est_distinct
+            FROM top GROUP BY lang
         """,
         # NFC + whitespace collapse over the injected non-ASCII suffix;
         # DuckDB nfc_normalize and Arrow utf8_normalize are both

@@ -43,6 +43,47 @@ def fnv1a64_of_int_strings(ids: np.ndarray) -> np.ndarray:
     return h
 
 
+def fnv1a64_of_strings(arr) -> np.ndarray:
+    """Vectorized ``fnv1a64(s.encode())`` over a pyarrow string/binary
+    array: the ``crc32_of_strings`` padded-byte-matrix pattern with
+    uint64 FNV state — one numpy pass per byte POSITION, never a Python
+    loop per row. Null/empty rows hash as the FNV offset basis (the
+    hash of ``b""``). Intended for SHORT strings (tokens, urls): the
+    padded matrix is n x maxlen bytes, so do not feed whole documents.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bufs = arr.buffers()
+    wide = pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+    off_dtype = np.int64 if wide else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    lengths = np.diff(offsets)
+    maxlen = int(lengths.max()) if n else 0
+    h = np.full(n, FNV64_OFFSET, dtype=np.uint64)
+    prime = np.uint64(FNV64_PRIME)
+    if maxlen:
+        col = np.arange(maxlen, dtype=offsets.dtype)
+        idx = offsets[:-1, None] + col[None, :]
+        valid = col[None, :] < lengths[:, None]
+        np.minimum(idx, max(len(data) - 1, 0), out=idx)
+        padded = np.where(valid, data[idx], 0).astype(np.uint64)
+        for j in range(maxlen):
+            m = valid[:, j]
+            nh = (h ^ padded[:, j]) * prime
+            h = np.where(m, nh, h)
+    return h
+
+
 def _make_crc32_table() -> np.ndarray:
     """IEEE CRC-32 (reflected, poly 0xEDB88320) byte table — the same
     algorithm as ``zlib.crc32`` (verified by tests/hypothesis)."""

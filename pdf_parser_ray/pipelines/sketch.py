@@ -1,0 +1,119 @@
+"""Mergeable sketch operators — bounded-memory approximations whose
+partials combine associatively, the shape that makes corpus-wide
+statistics cheap at 100 TB (every worker emits a fixed-size summary;
+the exchange moves kilobytes, not the corpus).
+
+First sketch: KMV (k-minimum-values) distinct counting [Bar-Yossef et
+al. 2002, "Counting distinct elements in a data stream"]. The sketch
+of a set is its k smallest element hashes; union-merge = merge + keep
+k smallest; the estimator is (k-1) * 2^64 / kth_min. Unlike
+HyperLogLog the whole computation is INTEGER arithmetic on a fixed
+public hash (FNV-1a64), so the result — including the estimate — is
+exactly restatable in SQL and deterministic across any partitioning.
+
+Ray shape: per-batch partial (distinct token hashes, k smallest) ->
+``groupby(lang).map_groups`` merge over tiny partials (<= k rows per
+batch per group). The corpus text never shuffles; only 8-byte hashes
+do, at most k per (batch, lang).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import fnv1a64_of_strings
+
+TOKEN_RE = r"[A-Za-z0-9]+"
+_HALF = 1 << 63
+_2_64 = 1 << 64
+_I64_MAX = (1 << 63) - 1
+
+
+def _docs(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _kmv_row(lang: str, hashes: np.ndarray, k: int) -> dict:
+    """Final KMV row from a group's distinct uint64 hashes (already
+    deduplicated). Integer-exact: est = (k-1)*2^64 // kth for a full
+    sketch, the exact count when fewer than k distinct hashes exist."""
+    hashes = np.unique(hashes)  # sorted + distinct
+    kept = hashes[:k]
+    n_kept = int(len(kept))
+    kth = int(kept[-1]) if n_kept else 0
+    if n_kept < k:
+        est = n_kept
+    else:
+        est = min((k - 1) * _2_64 // kth, _I64_MAX)
+    return {
+        "lang": lang,
+        "k": k,
+        "n_kept": n_kept,
+        "kth_hash_signed": kth - _HALF,
+        "est_distinct": est,
+    }
+
+
+def kmv_distinct_tokens(sf_dir: str, k: int = 128):
+    """Per-language approximate distinct-token count via a KMV sketch.
+
+    Stage 1 (map_batches): tokenize, hash each distinct token with
+    FNV-1a64 (vectorized byte-column passes), keep the k smallest per
+    (batch, lang) — a bounded partial regardless of batch size.
+    Stage 2 (groupby lang -> map_groups): union the partials, dedupe,
+    keep k smallest, evaluate the estimator. Group size is bounded by
+    k * n_batches rows of 8 bytes, so the merge is trivially small.
+
+    Hashes ride the shuffle as ORDER-PRESERVING signed int64
+    (u - 2**63), the same remap shuffle_assignment uses, so numeric
+    k-smallest semantics survive the Arrow int64 column."""
+    import ray.data
+
+    word_re = re.compile(TOKEN_RE)
+
+    def partial(t: pa.Table) -> pa.Table:
+        per: dict[str, set] = {}
+        for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            per.setdefault(lang, set()).update(word_re.findall(text))
+        langs, hs = [], []
+        for lang, words in per.items():
+            hv = np.unique(fnv1a64_of_strings(pa.array(list(words), pa.string())))
+            hv = hv[:k]
+            langs.extend([lang] * len(hv))
+            hs.append(hv)
+        h_all = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "h_signed": pa.array(
+                    (h_all - np.uint64(_HALF)).view(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        lang = g["lang"][0].as_py()
+        u = (
+            g["h_signed"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64).view(np.uint64) + np.uint64(_HALF)
+        row = _kmv_row(lang, u, k)
+        return pa.table(
+            {
+                "lang": pa.array([row["lang"]], pa.string()),
+                "k": pa.array([row["k"]], pa.int64()),
+                "n_kept": pa.array([row["n_kept"]], pa.int64()),
+                "kth_hash_signed": pa.array([row["kth_hash_signed"]], pa.int64()),
+                "est_distinct": pa.array([row["est_distinct"]], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["lang", "text"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pyarrow")
+    )

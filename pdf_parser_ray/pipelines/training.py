@@ -503,6 +503,91 @@ def vocab_stats(sf_dir: str):
     )
 
 
+# -- per-document tf-idf characteristic terms --------------------------------
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Per-document characteristic terms: the top-k words by an
+    INTEGER-EXACT tf-idf surrogate ``score = tf * 10^12 // df``
+    (monotone in tf, inverse in df — the idf direction without
+    floating-point logs, so the DuckDB oracle matches bit-for-bit;
+    truncating integer division on both sides). Ties break by word.
+
+    Canonical distributed tf-idf in its minimal two-exchange shape:
+
+    1. in-batch partial -> distinct ``(doc_id, word, tf)`` rows (a doc
+       lives wholly in one batch, so per-batch tf is final);
+    2. ``groupby(word).map_groups`` — ONE exchange attaches df
+       (= group row count) AND computes scores; no second corpus scan,
+       no df-table join, no broadcast of an unbounded vocabulary;
+    3. per-batch local top-k per doc (top-k partials merge), pruning
+       the second exchange to <= k rows per (doc, batch);
+    4. ``groupby(doc_id).map_groups`` re-ranks the partials.
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    word_re = re.compile(TOKEN_RE)
+    scale = 10**12
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, words, tfs = [], [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            c = Counter(word_re.findall(t))
+            ids.extend([i] * len(c))
+            words.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "word": pa.array(words, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    def score_group(g: pd.DataFrame) -> pd.DataFrame:
+        df_count = np.int64(len(g))
+        g = g.copy()
+        g["df"] = df_count
+        g["score_scaled"] = (g["tf"].to_numpy(np.int64) * scale) // df_count
+        return g
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.sort_values(
+                ["doc_id", "score_scaled", "word"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("doc_id", sort=False)
+            .head(k)
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score_scaled", "word"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "word": g["word"],
+                "tf": g["tf"].astype("int64"),
+                "df": g["df"].astype("int64"),
+                "score_scaled": g["score_scaled"].astype("int64"),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .map_groups(score_group, batch_format="pandas")
+        .map_batches(local_topk, batch_format="pandas")
+        .groupby("doc_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 # -- URL blocklist filter ----------------------------------------------------
 
 

@@ -301,3 +301,34 @@ def test_normalize_text_nfc_and_whitespace(ray_session, tmp_path):
     # NFC composes e+combining (-1), collapse removes 4 extra spaces/tab
     assert got["n_chars_raw"][0] == len("hello   world") + 11
     assert got["n_chars_norm"][0] == len("hello world café x3")
+
+
+def test_tfidf_top_terms_hand_case(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    # 'rare' appears only in doc 0 (df=1), 'common' in all three (df=3):
+    # rare must outrank common for doc 0 despite equal tf
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": ["rare common", "common zz", "common yy"],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": pa.array([11, 9, 9], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = (
+        training.tfidf_top_terms(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    d0 = got[got["doc_id"] == 0]
+    assert list(d0["word"]) == ["rare", "common"]
+    assert list(d0["df"]) == [1, 3]
+    assert d0["score_scaled"].iloc[0] == 10**12        # tf=1, df=1
+    assert d0["score_scaled"].iloc[1] == 10**12 // 3   # tf=1, df=3
+    # every doc gets at most k=3 rows, ranks contiguous from 1
+    for _, g in got.groupby("doc_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
