@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": training.normalize_text,
         "kmv_distinct_tokens": sketch.kmv_distinct_tokens,
         "tfidf_top_terms": training.tfidf_top_terms,
+        "gif_frame_sample": multimodal.gif_frame_sample,
         "training_mix_pipeline": training.training_mix_pipeline,
     }
 
@@ -1306,6 +1307,28 @@ def oracle_sql() -> dict[str, str]:
                        chr(10) ORDER BY l.ord), '') AS text_clean
             FROM lines l LEFT JOIN boiler b ON l.line = b.line
             GROUP BY 1
+        """,
+        # frame sampling over engine-encoded animated GIFs: the stage
+        # does a real encode->decode roundtrip; the oracle restates the
+        # per-frame pixel sum of the known 8x8 grid (7d+13f+p) % 251 in
+        # closed form (the 64-pixel run wraps mod 251 at most once)
+        "gif_frame_sample": """
+            WITH f AS (
+              SELECT doc_id, 2 + doc_id % 4 AS n_frames,
+                     unnest([0, 2, 4]) AS frame_idx
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, n_frames, frame_idx,
+                     (doc_id * 7 + frame_idx * 13) % 251 AS a
+              FROM f WHERE frame_idx < n_frames
+            )
+            SELECT doc_id,
+                   CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(n_frames AS BIGINT) AS n_frames,
+                   CAST(64 * a + 2016 - 251 * GREATEST(0, a + 63 - 250)
+                        AS BIGINT) AS sum_pixels
+            FROM s
         """,
         # integer-exact tf-idf surrogate: score = tf * 10^12 // df
         # (truncating division on both sides), ties by word; top-3

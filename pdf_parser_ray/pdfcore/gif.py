@@ -170,9 +170,51 @@ def encode_gif(indices: bytes, width: int, height: int, palette: bytes) -> bytes
     return bytes(out)
 
 
+def encode_gif_animation(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    palette: bytes,
+    delay_cs: int = 4,
+) -> bytes:
+    """Animated GIF89a: global color table, NETSCAPE2.0 loop-forever
+    application extension, and per frame a Graphic Control Extension
+    (delay, no disposal/transparency) + image descriptor + LZW data.
+    Every frame is full-size ``width x height`` palette indices."""
+    if len(palette) != 768:
+        raise GifError("palette must be 256 RGB entries (768 bytes)")
+    if not frames:
+        raise GifError("animation needs at least one frame")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out += palette
+    # application extension: loop count 0 = forever
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for indices in frames:
+        if len(indices) != width * height:
+            raise GifError(f"frame {len(indices)} != {width}x{height}")
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", 0, delay_cs, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(8)
+        out += _blocks(_lzw_encode_gif(indices, 8))
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_gif(data: bytes) -> tuple[int, int, bytes, bytes]:
     """-> (width, height, palette(768 or local size*3), index bytes)
     of the FIRST image. Raises GifError on corrupt/unsupported data."""
+    w, h, palette, frames = decode_gif_frames(data, max_frames=1)
+    return w, h, palette, frames[0]
+
+
+def decode_gif_frames(
+    data: bytes, max_frames: int | None = None
+) -> tuple[int, int, bytes, list[bytes]]:
+    """-> (width, height, palette, [frame index bytes, ...]) for ALL
+    image blocks (or the first ``max_frames``). Frame dimensions come
+    from the first image descriptor; a local color table overrides the
+    global one. Raises GifError on corrupt/unsupported data."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifError("bad signature")
     if len(data) < 13:
@@ -186,6 +228,8 @@ def decode_gif(data: bytes) -> tuple[int, int, bytes, bytes]:
         if len(palette) != size:
             raise GifError("truncated global color table")
         pos += size
+    frames: list[bytes] = []
+    fw = fh = 0
     while pos < len(data):
         block = data[pos]
         pos += 1
@@ -235,5 +279,11 @@ def decode_gif(data: bytes) -> tuple[int, int, bytes, bytes]:
             raise GifError(
                 f"decoded {len(indices)} pixels for {width}x{height}"
             )
-        return width, height, palette, indices
-    raise GifError("no image block")
+        if not frames:
+            fw, fh = width, height
+        frames.append(indices)
+        if max_frames is not None and len(frames) >= max_frames:
+            return fw, fh, palette, frames
+    if not frames:
+        raise GifError("no image block")
+    return fw, fh, palette, frames

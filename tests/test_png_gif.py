@@ -251,3 +251,37 @@ def test_gif_deferred_clear_decode():
         out.append(state["bitbuf"] & 0xFF)
 
     assert _lzw_decode_gif(bytes(out), mcs, len(data)) == data
+
+
+def test_gif_animation_roundtrip():
+    from pdf_parser_ray.pdfcore.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = bytes(bytearray(v for i in range(256) for v in (i, i, i)))
+    frames = [bytes((21 + 13 * f + p) % 251 for p in range(64)) for f in range(5)]
+    gif = encode_gif_animation(frames, 8, 8, pal)
+    w, h, got_pal, got = decode_gif_frames(gif)
+    assert (w, h) == (8, 8)
+    assert got == frames
+    assert got_pal == pal
+    # first-frame compatibility wrapper agrees
+    assert decode_gif(gif)[3] == frames[0]
+    # max_frames stops early
+    assert len(decode_gif_frames(gif, max_frames=2)[3]) == 2
+
+
+def test_gif_frame_sampler_hand_case(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from pdf_parser_ray.pipelines.multimodal import GifFrameSampler
+
+    batch = pa.table({"doc_id": pa.array([3], pa.int64())})
+    out = GifFrameSampler()(batch).to_pandas()
+    # doc 3: n_frames = 2 + 3%4 = 5 -> sampled frames 0, 2, 4
+    assert list(out["frame_idx"]) == [0, 2, 4]
+    assert (out["n_frames"] == 5).all()
+    for f, s in zip(out["frame_idx"], out["sum_pixels"]):
+        assert s == sum((7 * 3 + 13 * f + p) % 251 for p in range(64))
