@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": training.tfidf_top_terms,
         "gif_frame_sample": multimodal.gif_frame_sample,
         "training_mix_pipeline": training.training_mix_pipeline,
+        "bigram_lm_score": training.bigram_lm_score,
     }
 
 
@@ -1418,5 +1419,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(clean) AS BIGINT) AS n_chars_norm,
                    clean AS text_norm
             FROM cleaned
+        """,
+        # MLE bigram LM trained on the corpus, integer-exact per-doc
+        # score: sum over bigram positions of (c(w1 w2)*1e6) // c(w1 .)
+        "bigram_lm_score": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i+1])) AS gram
+              FROM tok
+            ),
+            bs AS (
+              SELECT doc_id, split_part(gram, ' ', 1) AS w1,
+                     split_part(gram, ' ', 2) AS w2
+              FROM b
+            ),
+            counts AS (
+              SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+              FROM bs GROUP BY 1, 2
+            ),
+            prefix AS (
+              SELECT w1, CAST(SUM(c) AS BIGINT) AS p
+              FROM counts GROUP BY 1
+            ),
+            scored AS (
+              SELECT bs.doc_id,
+                     CAST((counts.c * 1000000) // prefix.p AS BIGINT) AS s
+              FROM bs
+              JOIN counts USING (w1, w2)
+              JOIN prefix USING (w1)
+            ),
+            per_doc AS (
+              SELECT doc_id, CAST(SUM(s) AS BIGINT) AS total
+              FROM scored GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   CAST(CASE WHEN len(ts) >= 2 THEN len(ts) - 1 ELSE 0 END
+                        AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(pd.total, 0) AS BIGINT) AS lm_score_scaled
+            FROM tok t LEFT JOIN per_doc pd USING (doc_id)
         """,
     }

@@ -1039,3 +1039,103 @@ def normalize_text(sf_dir: str):
 
     ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+# -- bigram LM quality score -------------------------------------------------
+
+
+def bigram_lm_score(sf_dir: str, scale: int = 10**6):
+    """CCNet-style LM quality filter (Wenzek et al. 2020 score docs with
+    a KenLM model; no model ships in this container, so the model is an
+    MLE bigram LM trained on the corpus itself) with an INTEGER-EXACT
+    score: for each bigram position (w1, w2) the model assigns
+    ``p_scaled = (count(w1 w2) * scale) // count(w1 .)`` and the doc
+    score is the sum of ``p_scaled`` over its bigram positions —
+    truncating integer division on both sides, so the DuckDB oracle
+    matches bit-for-bit (a float log-perplexity sum would be
+    order-dependent). Higher = more in-distribution, the CCNet gate
+    direction.
+
+    Distributed shape (two exchanges, the same minimal plan as
+    :func:`tfidf_top_terms`):
+
+    1. in-batch partial: per-doc bigram ``Counter`` -> distinct
+       ``(doc_id, w1, w2, tf)`` rows (a doc lives wholly in one batch,
+       so tf is final), plus one ``(doc_id, "", "", 0)`` sentinel per
+       doc so token-poor docs survive to the output;
+    2. ``groupby(w1).map_groups`` — ONE exchange sees every bigram
+       starting with w1, so it computes BOTH the prefix total
+       ``count(w1 .)`` (= sum tf) and each bigram count (= sum tf per
+       w2), then collapses to per-doc partials ``(doc_id, s, tf)``
+       before re-keying (<= n_docs rows per group leave the stage);
+    3. ``groupby(doc_id)`` native Sum folds score and n_bigrams.
+
+    Skew: stopword w1 groups are the hot keys; group size is bounded by
+    distinct (w2, doc) pairs, and the per-group kernel is a vectorized
+    pandas transform. At extreme corpus scale ``c * scale`` can
+    outgrow int64 (c > ~9.2e12); drop ``scale`` or widen to object
+    ints there — the plan shape is unchanged.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    word_re = re.compile(TOKEN_RE)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, w1s, w2s, tfs = [], [], [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ws = word_re.findall(t)
+            c = Counter(zip(ws, ws[1:]))
+            for (a, b), n in c.items():
+                ids.append(i)
+                w1s.append(a)
+                w2s.append(b)
+                tfs.append(n)
+            ids.append(i)  # sentinel: doc presence without bigrams
+            w1s.append("")
+            w2s.append("")
+            tfs.append(0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "w1": pa.array(w1s, pa.string()),
+                "w2": pa.array(w2s, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    def score_group(g: pd.DataFrame) -> pd.DataFrame:
+        tf = g["tf"].to_numpy(np.int64)
+        prefix = tf.sum()
+        if prefix > 0:
+            c_big = g.groupby("w2", sort=False)["tf"].transform("sum").to_numpy(
+                np.int64
+            )
+            s = tf * ((c_big * scale) // prefix)
+        else:  # the sentinel group ("" prefix): contributes 0 score
+            s = np.zeros(len(g), np.int64)
+        out = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64), "s": s, "tf": tf})
+        return out.groupby("doc_id", as_index=False).sum()
+
+    res = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("w1")
+        .map_groups(score_group, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("s", alias_name="lm_score_scaled"),
+            Sum("tf", alias_name="n_bigrams"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pc.cast(t["n_bigrams"], pa.int64()),
+                "lm_score_scaled": pc.cast(t["lm_score_scaled"], pa.int64()),
+            }
+        )
+
+    return res.map_batches(finish, batch_format="pyarrow")

@@ -332,3 +332,33 @@ def test_tfidf_top_terms_hand_case(ray_session, tmp_path):
     # every doc gets at most k=3 rows, ranks contiguous from 1
     for _, g in got.groupby("doc_id"):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_bigram_lm_score_hand_case(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    # corpus bigram counts: (a,b) x2, (b,a) x2, (a,c) x1
+    # prefixes: a -> 3 bigram positions, b -> 2
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": ["a b a", "a b a c", ""],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": pa.array([5, 7, 0], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = (
+        training.bigram_lm_score(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # prefixes: a -> (a,b)x2 + (a,c)x1 = 3; b -> (b,a)x2 = 2
+    ab = (2 * 10**6) // 3
+    ba = (2 * 10**6) // 2
+    ac = (1 * 10**6) // 3
+    assert list(got["doc_id"]) == [0, 1, 2]
+    assert list(got["n_bigrams"]) == [2, 3, 0]
+    assert list(got["lm_score_scaled"]) == [ab + ba, ab + ba + ac, 0]
