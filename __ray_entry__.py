@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gif_frame_sample": multimodal.gif_frame_sample,
         "training_mix_pipeline": training.training_mix_pipeline,
         "bigram_lm_score": training.bigram_lm_score,
+        "bloom_semi_join": relational.bloom_semi_join,
     }
 
 
@@ -1463,5 +1464,19 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_bigrams,
                    CAST(COALESCE(pd.total, 0) AS BIGINT) AS lm_score_scaled
             FROM tok t LEFT JOIN per_doc pd USING (doc_id)
+        """,
+        # the bloom prefilter is exact-verified by the hash join, so
+        # the oracle is a plain semi-join
+        "bloom_semi_join": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders
+              WHERE o_orderpriority = '1-URGENT'
+            )
+            GROUP BY 1
         """,
     }

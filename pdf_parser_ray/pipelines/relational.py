@@ -629,3 +629,148 @@ def sample_10pct(sf_dir: str):
 def route_counts_ds(extracted_ds):
     """kind -> row count over an extraction output Dataset."""
     return extracted_ds.groupby("kind").count()
+
+
+# -- Bloom-prefiltered semi-join ---------------------------------------------
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant mix):
+    uint64 -> well-distributed uint64."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, n_hashes: int):
+    """Double-hashed bit positions h1 + i*h2 (mod m) for each key:
+    yields n_hashes arrays of uint64 positions."""
+    k = keys.astype(np.uint64)
+    h1 = _splitmix64(k)
+    h2 = _splitmix64(k ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    m = np.uint64(m_bits)
+    for i in range(n_hashes):
+        yield (h1 + np.uint64(i) * h2) % m
+
+
+def _bloom_set(keys: np.ndarray, m_bits: int, n_hashes: int) -> np.ndarray:
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    for pos in _bloom_positions(keys, m_bits, n_hashes):
+        np.bitwise_or.at(
+            bits, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    return bits
+
+
+def _bloom_test(keys: np.ndarray, bits: np.ndarray, m_bits: int, n_hashes: int):
+    ok = np.ones(len(keys), dtype=bool)
+    for pos in _bloom_positions(keys, m_bits, n_hashes):
+        word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+        ok &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+    return ok
+
+
+def bloom_semi_join(sf_dir: str, m_bits: int = 1 << 20, n_hashes: int = 4):
+    """Bloom-prefiltered exact semi-join: lineitem rows belonging to a
+    '1-URGENT' order -> per-returnflag row count + revenue cents.
+
+    The classic shuffle-join optimization at fleet scale: before the
+    hash-partitioned exact join, every probe-side task drops rows that
+    CANNOT match using a broadcast Bloom filter built from the build
+    side. False positives (< 1% at m=2^20 / k=4 for these key counts)
+    still enter the shuffle; the exact join removes them, so the result
+    is EXACT and the oracle is a plain SQL semi-join. What the bloom
+    buys is the exchange: only ~|matching| + fp probe rows are hash
+    partitioned instead of ALL of lineitem.
+
+    Distributed shape:
+    1. build side: orders scan projected to (o_orderkey) for the urgent
+       arm (at fleet scale o_orderpriority is a partition column and the
+       read prunes to one arm); per-batch partial bitmaps (fixed 128 KiB
+       each at m=2^20, independent of corpus size) OR-folded in a
+       repartition tree, broadcast once via ray.put;
+    2. probe side: vectorized double-hash membership test inside
+       map_batches BEFORE any exchange;
+    3. survivors hash-join (Dataset.join) against the key set, then
+       partial-agg -> small groupby.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    urgent = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def partial_bloom(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy().astype(np.int64)
+        bits = _bloom_set(keys, m_bits, n_hashes)
+        return pa.table({"bitmap": pa.array([bits.tobytes()], pa.binary())})
+
+    def or_fold(t: pa.Table) -> pa.Table:
+        acc = np.zeros(m_bits // 64, dtype=np.uint64)
+        for b in t["bitmap"].to_pylist():
+            acc |= np.frombuffer(b, dtype=np.uint64)
+        return pa.table({"bitmap": pa.array([acc.tobytes()], pa.binary())})
+
+    # OR-fold the per-batch bitmaps in a small repartition tree; the
+    # result is ONE fixed-size row — materializing it on the driver is
+    # a scalar-sized reduction, not a dataset materialization.
+    folded = (
+        urgent.map_batches(partial_bloom, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(or_fold, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(or_fold, batch_format="pyarrow")
+        .take(1)
+    )
+    bits = np.frombuffer(folded[0]["bitmap"], dtype=np.uint64)
+    bits_ref = ray.put(bits)
+
+    probe = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice"],
+    )
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)  # zero-copy plasma read, once per task
+        keys = t["l_orderkey"].to_numpy().astype(np.int64)
+        return t.filter(pa.array(_bloom_test(keys, b, m_bits, n_hashes)))
+
+    survivors = probe.map_batches(prefilter, batch_format="pyarrow")
+    joined = survivors.join(
+        urgent,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial_agg(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "revenue_cents": _cents(t["l_extendedprice"]),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        g = t2.group_by("l_returnflag").aggregate(
+            [("revenue_cents", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(["l_returnflag", "revenue_cents", "n_rows"])
+
+    return (
+        joined.map_batches(partial_agg, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )

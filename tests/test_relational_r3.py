@@ -85,3 +85,46 @@ def test_chars_quantiles_rule(ray_session):
         vals = np.sort(docs.loc[docs["lang"] == lang, "n_chars"].to_numpy())
         idx = max(0, math.ceil(q / 100 * len(vals)) - 1)
         assert int(row["value"]) == int(vals[idx])
+
+
+def test_bloom_no_false_negatives():
+    from pdf_parser_ray.pipelines.relational import _bloom_set, _bloom_test
+
+    keys = np.arange(0, 5000, dtype=np.int64) * 7919 + 3
+    bits = _bloom_set(keys, 1 << 16, 4)
+    # every inserted key MUST test positive (bloom guarantee)
+    assert _bloom_test(keys, bits, 1 << 16, 4).all()
+    # false-positive rate on disjoint keys stays near theory
+    others = np.arange(1, 20000, dtype=np.int64) * 7919
+    fp = _bloom_test(others, bits, 1 << 16, 4).mean()
+    assert fp < 0.15  # theory ~0.024 at this load; generous bound
+
+
+def test_bloom_semi_join_matches_duckdb(ray_session):
+    import duckdb
+
+    from pdf_parser_ray.pipelines.relational import bloom_semi_join
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        bloom_semi_join(sf)
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM '{sf}/lineitem.parquet'
+        WHERE l_orderkey IN (
+          SELECT o_orderkey FROM '{sf}/orders.parquet'
+          WHERE o_orderpriority = '1-URGENT')
+        GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    assert list(got["l_returnflag"]) == list(exp["l_returnflag"])
+    assert list(got["revenue_cents"]) == list(exp["revenue_cents"])
+    assert list(got["n_rows"]) == list(exp["n_rows"])
