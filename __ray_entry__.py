@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_mix_pipeline": training.training_mix_pipeline,
         "bigram_lm_score": training.bigram_lm_score,
         "bloom_semi_join": relational.bloom_semi_join,
+        "events_jsonl_agg": relational.events_jsonl_agg,
     }
 
 
@@ -1477,6 +1478,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_orderkey FROM orders
               WHERE o_orderpriority = '1-URGENT'
             )
+            GROUP BY 1
+        """,
+        # the engine reads its own JSONL export of events; doubles
+        # round-trip exactly, so the parquet-side aggregate matches
+        "events_jsonl_agg": """
+            SELECT event_type,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents,
+                   CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+                   CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
             GROUP BY 1
         """,
     }

@@ -774,3 +774,70 @@ def bloom_semi_join(sf_dir: str, m_bits: int = 1 << 20, n_hashes: int = 4):
             Sum("n_rows", alias_name="n_rows"),
         )
     )
+
+
+# -- JSONL source roundtrip --------------------------------------------------
+
+
+def events_jsonl_agg(sf_dir: str):
+    """Source-format coverage: the events table is exported as JSONL
+    (``Dataset.write_json``, one shard per block — the WET/WAT-style
+    text-record ingestion format) and read back with
+    ``ray.data.read_json``, then aggregated per event type.
+
+    JSON is schemaless, so unlike the parquet scans there is no column
+    pushdown at read time — the export PROJECTS to the needed columns
+    before writing, the only place pruning can happen for this format
+    (and why the parquet path is the default everywhere else). The
+    export is cached under /tmp keyed by the source dir; doubles
+    round-trip exactly (shortest-repr print, exact parse), so the
+    integer-cents aggregate is bit-identical to the parquet oracle.
+    """
+    import hashlib
+
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    cache = os.path.join(
+        "/tmp/graft_jsonl_cache",
+        hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    if not (os.path.isdir(cache) and os.listdir(cache)):
+        os.makedirs(cache, exist_ok=True)
+        ray.data.read_parquet(
+            _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+        ).write_json(cache)
+
+    ds = ray.data.read_json(cache)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
+            {
+                "event_type": t["event_type"],
+                "value_cents": _cents(t["value"]),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        g = t2.group_by("event_type").aggregate(
+            [
+                ("value_cents", "sum"),
+                ("event_id", "min"),
+                ("event_id", "max"),
+                ("n", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["event_type", "value_cents", "min_event_id", "max_event_id", "n_events"]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("value_cents", alias_name="value_cents"),
+            Min("min_event_id", alias_name="min_event_id"),
+            Max("max_event_id", alias_name="max_event_id"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )

@@ -128,3 +128,31 @@ def test_bloom_semi_join_matches_duckdb(ray_session):
     assert list(got["l_returnflag"]) == list(exp["l_returnflag"])
     assert list(got["revenue_cents"]) == list(exp["revenue_cents"])
     assert list(got["n_rows"]) == list(exp["n_rows"])
+
+
+def test_events_jsonl_roundtrip_agg(ray_session, tmp_path):
+    """JSONL export -> read_json -> aggregate must equal the direct
+    parquet aggregate (doubles round-trip exactly through JSON)."""
+    import duckdb
+
+    from pdf_parser_ray.pipelines.relational import events_jsonl_agg
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        events_jsonl_agg(sf)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""
+        SELECT event_type,
+               CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS BIGINT)
+                 AS value_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM '{sf}/events.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    assert list(got["event_type"]) == list(exp["event_type"])
+    assert list(got["value_cents"]) == list(exp["value_cents"])
+    assert list(got["n_events"]) == list(exp["n_events"])
