@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm_score": training.bigram_lm_score,
         "bloom_semi_join": relational.bloom_semi_join,
         "events_jsonl_agg": relational.events_jsonl_agg,
+        "audio_meta": multimodal.audio_meta,
     }
 
 
@@ -1491,5 +1492,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events
             GROUP BY 1
+        """,
+        # the WAV payload is deterministic, so the oracle restates the
+        # whole encode->decode roundtrip in closed form: interleaved
+        # sample t of doc d is ((d*31 + t*17) % 65536) - 32768
+        "audio_meta": """
+            WITH d AS (
+              SELECT doc_id,
+                     8000 + (doc_id % 3) * 4000 AS rate,
+                     1 + doc_id % 2 AS ch,
+                     64 + doc_id % 64 AS nf
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, rate, ch, nf,
+                     unnest(generate_series(0, nf * ch - 1)) AS t
+              FROM d
+            ),
+            v AS (
+              SELECT doc_id, rate, ch, nf,
+                     ((doc_id * 31 + t * 17) % 65536) - 32768 AS val
+              FROM s
+            )
+            SELECT doc_id,
+                   CAST(rate AS BIGINT) AS sample_rate,
+                   CAST(ch AS BIGINT) AS n_channels,
+                   CAST(nf AS BIGINT) AS n_frames,
+                   CAST(nf * 1000 // rate AS BIGINT) AS duration_ms,
+                   CAST(SUM(ABS(val)) AS BIGINT) AS sum_abs
+            FROM v
+            GROUP BY 1, 2, 3, 4, 5
         """,
     }

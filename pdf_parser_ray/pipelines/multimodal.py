@@ -2,11 +2,12 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.
 The Ray-side plumbing — schema, batch sizing, actor signature, output
-layout — is real; the codec step is STUBBED (no image/audio libraries
-in this container) behind ``decode_stub``: it detects the container
-format from magic bytes, computes real metadata (size, sha256) and
-returns a deterministic fake "decode" so downstream stages exercise
-realistic shapes.
+layout — is real, and so are the codecs for JPEG, PNG, GIF (incl.
+animation frames) and WAV PCM (the engine's own spec-derived
+implementations in pdfcore/ — no media libraries exist in this
+container). ``decode_stub`` keeps a deterministic stub ONLY for
+audio/mpeg, where a real deployment swaps ffmpeg into the same actor
+signature.
 
 Batch sizing: binary payload stages use small ``batch_size`` so
 ``batch_size x concurrency x payload`` fits a worker heap (SURVEY.md §4).
@@ -40,13 +41,14 @@ def detect_mime(payload: bytes) -> str:
 
 
 def decode_stub(payload: bytes, mime: str) -> dict:
-    """Decoder step: REAL for image/jpeg, image/png and image/gif (the
-    engine's own codecs — pdfcore/jpeg.py, png.py, gif.py; no image
-    libraries exist in this container); a deterministic STUB for audio
-    (a real deployment swaps ffmpeg into the same actor signature;
-    batching, schema and the error channel are already
+    """Decoder step: REAL for image/jpeg, image/png, image/gif and
+    audio/wav (the engine's own codecs — pdfcore/jpeg.py, png.py,
+    gif.py, wav.py; no media libraries exist in this container); a
+    deterministic STUB only for audio/mpeg (an MP3 codec is out of
+    scope; a real deployment swaps ffmpeg into the same actor
+    signature — batching, schema and the error channel are already
     production-shaped). Raises NotImplementedError (the stage's
-    "not decodable" channel) on other mimes or corrupt image data."""
+    "not decodable" channel) on other mimes or corrupt media data."""
     if mime == "image/jpeg":
         from ..pdfcore.jpeg import JpegError, decode_jpeg
 
@@ -83,8 +85,24 @@ def decode_stub(payload: bytes, mime: str) -> dict:
             "height": h,
             "mean": sum(idx[:256]) / (255.0 * min(len(idx), 256)),
         }
+    if mime == "audio/wav":
+        from ..pdfcore.wav import WavError, decode_wav_samples
+
+        try:
+            rate, ch, _width, vals = decode_wav_samples(payload)
+        except WavError as e:
+            raise NotImplementedError(f"wav decode failed: {e}") from e
+        # generic media-meta mapping: width=frames, height=channels,
+        # mean = normalized mean absolute amplitude
+        n_frames = len(vals) // ch if ch else 0
+        amp = sum(abs(v) for v in vals[:4096]) / (
+            32768.0 * max(1, min(len(vals), 4096))
+        )
+        return {"width": n_frames, "height": ch, "mean": amp}
     if not mime.startswith("audio/"):
         raise NotImplementedError(f"no decoder for {mime}")
+    # audio/mpeg stays a deterministic stub: an MP3 codec is out of
+    # scope; a real deployment swaps ffmpeg into this same arm
     digest = hashlib.sha256(payload).digest()
     return {
         "width": 1 + digest[0],
@@ -276,4 +294,69 @@ def gif_frame_sample(sf_dir: str):
     )
     return ds.map_batches(
         GifFrameSampler, batch_format="pyarrow", batch_size=128, concurrency=(1, 4)
+    )
+
+
+class AudioMetaSampler:
+    """Audio-decode stage (actor pool): each doc carries a deterministic
+    RIFF/WAVE PCM payload (built by the engine's own encoder —
+    pdfcore/wav.py), which the stage DECODES with the engine's chunk-
+    walking parser and summarizes: sample rate, channel count, frame
+    count, integer duration and integer absolute-amplitude mass.
+
+    Interleaved sample ``t`` of doc ``d`` is
+    ``((d*31 + t*17) % 65536) - 32768`` — closed-form, so the DuckDB
+    oracle restates the whole decode via generate_series. A wrong
+    encoder field, chunk walk, or sample unpack breaks the sums.
+
+    Per-doc loop (a whole payload is the vectorization unit for
+    codecs); no per-actor state needed but the class keeps the actor-
+    pool signature of the other media stages."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.wav import decode_wav_samples, encode_wav
+
+        ids, rates, chs, nfs, durs, sums = [], [], [], [], [], []
+        for d in batch["doc_id"].to_pylist():
+            rate = 8000 + (d % 3) * 4000
+            ch = 1 + d % 2
+            n_frames = 64 + d % 64
+            vals = [
+                ((d * 31 + t * 17) % 65536) - 32768
+                for t in range(n_frames * ch)
+            ]
+            wav = encode_wav(vals, ch, rate)
+            got_rate, got_ch, _w, got_vals = decode_wav_samples(wav)
+            assert (got_rate, got_ch, got_vals) == (rate, ch, vals)
+            ids.append(d)
+            rates.append(got_rate)
+            chs.append(got_ch)
+            nfs.append(len(got_vals) // got_ch)
+            durs.append(len(got_vals) // got_ch * 1000 // got_rate)
+            sums.append(sum(abs(v) for v in got_vals))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int64()),
+                "n_channels": pa.array(chs, pa.int64()),
+                "n_frames": pa.array(nfs, pa.int64()),
+                "duration_ms": pa.array(durs, pa.int64()),
+                "sum_abs": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def audio_meta(sf_dir: str):
+    """Audio decode + metadata over the documents table (only
+    ``doc_id`` leaves the parquet — the payload is synthesized in the
+    stage, so the read is maximally pruned)."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return ds.map_batches(
+        AudioMetaSampler, batch_format="pyarrow", batch_size=128, concurrency=(1, 4)
     )
