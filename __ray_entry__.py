@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": relational.bloom_semi_join,
         "events_jsonl_agg": relational.events_jsonl_agg,
         "audio_meta": multimodal.audio_meta,
+        "dup_span_removal": training.dup_span_removal,
     }
 
 
@@ -1522,5 +1523,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(ABS(val)) AS BIGINT) AS sum_abs
             FROM v
             GROUP BY 1, 2, 3, 4, 5
+        """,
+        # exact-substring span removal: dup 8-gram sites merged into
+        # maximal spans via gaps-and-islands windows
+        "dup_span_removal": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts
+              FROM documents
+            ),
+            gpos AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(ts) - 7)) AS pos,
+                     unnest(list_transform(
+                       generate_series(1, len(ts) - 7),
+                       i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                         || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' '
+                         || ts[i+6] || ' ' || ts[i+7])) AS gram
+              FROM tok
+            ),
+            dup AS (
+              SELECT gram FROM gpos GROUP BY gram
+              HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            p AS (SELECT doc_id, pos FROM gpos JOIN dup USING (gram)),
+            m AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) <= 8
+                          THEN 0 ELSE 1 END AS new_span
+              FROM p
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     SUM(new_span) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS span_id
+              FROM m
+            ),
+            spans AS (
+              SELECT doc_id, span_id, COUNT(*) AS k,
+                     MIN(pos) AS s, MAX(pos) + 7 AS e
+              FROM isl GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(SUM(k) AS BIGINT) AS n_dup_positions,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(e - s + 1) AS BIGINT) AS n_removed_tokens
+            FROM spans GROUP BY 1
         """,
     }

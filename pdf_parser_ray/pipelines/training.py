@@ -1139,3 +1139,154 @@ def bigram_lm_score(sf_dir: str, scale: int = 10**6):
         )
 
     return res.map_batches(finish, batch_format="pyarrow")
+
+
+# -- exact-substring span removal --------------------------------------------
+
+
+class NGramPositionEmitter:
+    """One row per n-gram POSITION (1-based token index) — the input to
+    span-level exact-substring dedup. Grams ride the shuffle as 128-bit
+    blake2b keys; unlike :class:`NGramEmitter` positions are NOT
+    collapsed per (gram, doc), because the consumer needs every site."""
+
+    def __init__(self, n: int = 8):
+        self.n = n
+        self.word = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import blake2b128_of_strings
+
+        ids, grams, poss = [], [], []
+        for doc_id, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = self.word.findall(t)
+            for i in range(len(toks) - self.n + 1):
+                ids.append(doc_id)
+                grams.append(" ".join(toks[i : i + self.n]))
+                poss.append(i + 1)
+        h1, h2 = blake2b128_of_strings(pa.array(grams, pa.string()))
+        return pa.table(
+            {
+                "g1": pa.array(h1, pa.int64()),
+                "g2": pa.array(h2, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+            }
+        )
+
+
+def dup_span_removal(sf_dir: str, n: int = 8):
+    """EXACT-SUBSTRING span dedup (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better", the ExactSubstr arm):
+    token positions whose n-gram occurs in at least one OTHER document
+    are removal sites; overlapping/adjacent sites merge into maximal
+    removed SPANS. Per affected doc: site count, span count, and total
+    removed tokens.
+
+    Where :func:`dup_ngram_mass` computes only the per-doc mass (one
+    aggregate-only exchange), span removal genuinely needs the
+    positions back, so the minimal plan is:
+
+    1. distinct (gram, doc) rows -> per-gram native Count -> the DUP
+       gram key set (n_docs >= 2) — the only full-gram exchange;
+    2. position rows (g1, g2, doc_id, pos) hash-JOIN (semi) against
+       the dup keys — dup grams are a small fraction of all grams, so
+       the join output is far smaller than its probe side;
+    3. per-doc interval union (vectorized numpy in map_groups): sites
+       within n of each other merge ([p, p+n-1] token windows).
+
+    The reference algorithm builds a suffix array to find duplicated
+    spans of ANY length >= threshold; the n-gram-seeded variant here is
+    the standard map-reduce restatement (equal exchange shape, lower
+    constant than shipping suffixes). Collisionless under blake2b-128.
+
+    The semi-join is REDUCE-SIDE and co-shuffled (the dedup-family
+    pattern): both sides key on a COARSE bucket of the gram hash, one
+    groupby co-locates a bucket's dup keys with its position rows, and
+    a vectorized in-group merge keeps matching positions. Per-gram
+    groups (millions, interpreter-bound) and ``Dataset.join`` (whose
+    per-partition aggregator actors reject the empty partitions a
+    sparse key side produces) are both avoided.
+    """
+    import ray.data
+    from ray.data.aggregate import Count
+
+    n_buckets = 1024
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+
+    def _bucket(t: pa.Table) -> pa.ChunkedArray:
+        g1 = t["g1"]
+        return pc.subtract(
+            g1, pc.multiply(pc.divide(g1, n_buckets), pa.scalar(n_buckets))
+        )  # pyarrow has no modulo kernel
+
+    def keys_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_docs"], pa.scalar(2, pa.int64())))
+        z = pa.array(np.zeros(len(t), np.int64))
+        return pa.table(
+            {
+                "bucket": pc.cast(_bucket(t), pa.int64()),
+                "g1": t["g1"],
+                "g2": t["g2"],
+                "doc_id": z,
+                "pos": z,
+                "is_key": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+
+    dup_keys = (
+        ds.map_batches(lambda b, _n=n: NGramEmitter(_n)(b), batch_format="pyarrow")
+        .groupby(["g1", "g2"])
+        .aggregate(Count(alias_name="n_docs"))
+        .map_batches(keys_side, batch_format="pyarrow")
+    )
+
+    def pos_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(_bucket(t), pa.int64()),
+                "g1": t["g1"],
+                "g2": t["g2"],
+                "doc_id": t["doc_id"],
+                "pos": t["pos"],
+                "is_key": pa.array(np.zeros(len(t), np.int64)),
+            }
+        )
+
+    positions = ds.map_batches(
+        lambda b, _n=n: NGramPositionEmitter(_n)(b), batch_format="pyarrow"
+    ).map_batches(pos_side, batch_format="pyarrow")
+
+    def semi_join(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g[g["is_key"] == 1]
+        probe = g[g["is_key"] == 0]
+        hit = probe.merge(keys[["g1", "g2"]], on=["g1", "g2"], how="inner")
+        return hit[["doc_id", "pos"]]
+
+    joined = (
+        positions.union(dup_keys)
+        .map_batches(lambda t: t, batch_format="pyarrow")  # normalize blocks
+        .groupby("bucket")
+        .map_groups(semi_join, batch_format="pandas")
+    )
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        p = np.sort(g["pos"].to_numpy(np.int64))
+        gap = np.diff(p) > n  # strictly more than n apart -> new span
+        cut = np.nonzero(gap)[0]
+        starts = p[np.concatenate(([0], cut + 1))]
+        ends = p[np.concatenate((cut, [len(p) - 1]))] + n - 1
+        return pd.DataFrame(
+            {
+                "doc_id": [np.int64(g["doc_id"].iloc[0])],
+                "n_dup_positions": [np.int64(len(p))],
+                "n_spans": [np.int64(len(starts))],
+                "n_removed_tokens": [np.int64(np.sum(ends - starts + 1))],
+            }
+        )
+
+    return (
+        joined.groupby("doc_id").map_groups(merge_spans, batch_format="pandas")
+    )

@@ -362,3 +362,68 @@ def test_bigram_lm_score_hand_case(ray_session, tmp_path):
     assert list(got["doc_id"]) == [0, 1, 2]
     assert list(got["n_bigrams"]) == [2, 3, 0]
     assert list(got["lm_score_scaled"]) == [ab + ba, ab + ba + ac, 0]
+
+
+def test_dup_span_removal_hand_case(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    # docs 0 and 1 share the run "t1 .. t9" (two overlapping 8-grams at
+    # positions 1 and 2 in each doc -> ONE merged span of 9 tokens);
+    # doc 2 has no duplicated grams.
+    shared = " ".join(f"t{i}" for i in range(1, 10))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [
+                shared + " only0 a b c",
+                shared + " only1 x y z",
+                "nothing shared here at all beyond seven tokens",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": pa.array([1, 1, 1], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = (
+        training.dup_span_removal(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [0, 1]
+    assert list(got["n_dup_positions"]) == [2, 2]
+    assert list(got["n_spans"]) == [1, 1]
+    assert list(got["n_removed_tokens"]) == [9, 9]
+
+
+def test_dup_span_removal_split_spans(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    # two shared 8-gram runs separated by a unique middle -> 2 spans
+    run_a = " ".join(f"a{i}" for i in range(8))
+    run_b = " ".join(f"b{i}" for i in range(8))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": [
+                run_a + " mid0 unique0 " + run_b,
+                run_a + " mid1 unique1 " + run_b,
+            ],
+            "lang": ["en"] * 2,
+            "source": ["t"] * 2,
+            "n_chars": pa.array([1, 1], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = (
+        training.dup_span_removal(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # positions: run_a 8-gram at pos 1; run_b at pos 11 (tokens 11..18)
+    # gap 11-1=10 > 8 -> two spans, 8 tokens each
+    assert list(got["n_spans"]) == [2, 2]
+    assert list(got["n_removed_tokens"]) == [16, 16]
+    assert list(got["n_dup_positions"]) == [2, 2]
