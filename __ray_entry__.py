@@ -361,6 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_jsonl_agg": relational.events_jsonl_agg,
         "audio_meta": multimodal.audio_meta,
         "dup_span_removal": training.dup_span_removal,
+        "events_lag_delta": relational.events_lag_delta,
+        "customers_no_orders": relational.customers_no_orders,
     }
 
 
@@ -1570,5 +1572,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_spans,
                    CAST(SUM(e - s + 1) AS BIGINT) AS n_removed_tokens
             FROM spans GROUP BY 1
+        """,
+        "events_lag_delta": """
+            SELECT event_id, user_id,
+                   CAST(COALESCE(
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id),
+                     -1) AS BIGINT) AS prev_gap_us
+            FROM events
+        """,
+        "customers_no_orders": """
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CASE WHEN NOT EXISTS (
+                          SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
+            FROM customer c
+            GROUP BY 1
         """,
     }

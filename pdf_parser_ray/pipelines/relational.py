@@ -841,3 +841,105 @@ def events_jsonl_agg(sf_dir: str):
             Sum("n_events", alias_name="n_events"),
         )
     )
+
+
+def events_lag_delta(sf_dir: str):
+    """LAG window: per-user microsecond gap to the previous event
+    (ordered by ts, event_id); first event reports -1. Same
+    bucket-coarsened shuffle + vectorized whole-bucket window as
+    :func:`events_running` — the diff is a groupby-shift, never a
+    per-user Python loop."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = g["ts"].astype("int64")
+        prev = ts_us.groupby(g["user_id"]).shift(1)
+        delta = (ts_us - prev).fillna(-1).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "prev_gap_us": delta,
+            }
+        )
+
+    return (
+        ds.map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(window, batch_format="pandas")
+    )
+
+
+def customers_no_orders(sf_dir: str):
+    """ANTI-join: per market segment, total customers and how many
+    placed NO orders (never-empty result even when the anti side is
+    empty, as it is on this data). Co-shuffled reduce-side anti-join
+    (the dedup-family pattern): customer rows and order-custkey marker
+    rows share one coarse-bucket exchange; inside a bucket group a
+    vectorized isin flags customers with a marker. No broadcast (the
+    order-key side is corpus-sized at fleet scale) and no
+    ``Dataset.join`` (anti isn't a supported join type, and sparse key
+    sides hit its empty-partition aggregator trap)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    n_buckets = 64
+    cust = ray.data.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"])
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["c_custkey"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.subtract(
+                    k, pc.multiply(pc.divide(k, n_buckets), pa.scalar(n_buckets))
+                ),
+                "key": k,
+                "c_mktsegment": t["c_mktsegment"],
+                "is_order": pa.array(np.zeros(len(t), np.int64)),
+            }
+        )
+
+    def order_side(t: pa.Table) -> pa.Table:
+        # in-batch dedup: only distinct custkeys ride the shuffle
+        k = pc.cast(t["o_custkey"], pa.int64()).unique()
+        return pa.table(
+            {
+                "bucket": pc.subtract(
+                    k, pc.multiply(pc.divide(k, n_buckets), pa.scalar(n_buckets))
+                ),
+                "key": k,
+                "c_mktsegment": pa.array([""] * len(k), pa.string()),
+                "is_order": pa.array(np.ones(len(k), np.int64)),
+            }
+        )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        with_orders = g.loc[g["is_order"] == 1, "key"].unique()
+        custs = g[g["is_order"] == 0].copy()
+        custs["lone"] = (~custs["key"].isin(with_orders)).astype("int64")
+        out = custs.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("key", "size"), n_without_orders=("lone", "sum")
+        )
+        out["n_customers"] = out["n_customers"].astype("int64")
+        return out
+
+    return (
+        cust.map_batches(cust_side, batch_format="pyarrow")
+        .union(orders.map_batches(order_side, batch_format="pyarrow"))
+        .map_batches(lambda t: t, batch_format="pyarrow")  # normalize blocks
+        .groupby("bucket")
+        .map_groups(anti, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("n_without_orders", alias_name="n_without_orders"),
+        )
+    )

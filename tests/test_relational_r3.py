@@ -4,6 +4,7 @@ __ray_entry__ and is exercised by scripts/check_oracle.py)."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 SF = "/root/testdata/sf0.001"
@@ -156,3 +157,52 @@ def test_events_jsonl_roundtrip_agg(ray_session, tmp_path):
     assert list(got["event_type"]) == list(exp["event_type"])
     assert list(got["value_cents"]) == list(exp["value_cents"])
     assert list(got["n_events"]) == list(exp["n_events"])
+
+
+def test_customers_no_orders_nonzero_anti_side(ray_session, tmp_path):
+    """The testdata has no order-less customers, so pin the anti-join
+    arithmetic on a corpus where it is nonzero."""
+    from pdf_parser_ray.pipelines.relational import customers_no_orders
+
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "c_mktsegment": ["A", "A", "B", "B", "B"],
+        }
+    )
+    orders = pa.table({"o_custkey": pa.array([1, 3, 3], pa.int64())})
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    got = (
+        customers_no_orders(str(tmp_path))
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    assert list(got["c_mktsegment"]) == ["A", "B"]
+    assert list(got["n_customers"]) == [2, 3]
+    assert list(got["n_without_orders"]) == [1, 2]
+
+
+def test_events_lag_delta_matches_window_sql(ray_session):
+    import duckdb
+
+    from pdf_parser_ray.pipelines.relational import events_lag_delta
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        events_lag_delta(sf)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""
+        SELECT event_id,
+               CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id), -1) AS BIGINT)
+                 AS prev_gap_us
+        FROM '{sf}/events.parquet' ORDER BY event_id
+        """
+    ).df()
+    assert list(got["prev_gap_us"]) == list(exp["prev_gap_us"])
