@@ -1063,22 +1063,27 @@ def bigram_lm_score(sf_dir: str, scale: int = 10**6):
        ``(doc_id, w1, w2, tf)`` rows (a doc lives wholly in one batch,
        so tf is final), plus one ``(doc_id, "", "", 0)`` sentinel per
        doc so token-poor docs survive to the output;
-    2. ``groupby(w1).map_groups`` — ONE exchange sees every bigram
-       starting with w1, so it computes BOTH the prefix total
-       ``count(w1 .)`` (= sum tf) and each bigram count (= sum tf per
-       w2), then collapses to per-doc partials ``(doc_id, s, tf)``
-       before re-keying (<= n_docs rows per group leave the stage);
-    3. ``groupby(doc_id)`` native Sum folds score and n_bigrams.
+    2. ONE exchange on a COARSE bucket of hash(w1) (1024 groups, not
+       |vocab| groups — per-word ``map_groups`` would be interpreter-
+       bound over tens of thousands of tiny pandas groups): every
+       bigram starting with w1 lands in w1's bucket, so a vectorized
+       in-group transform computes BOTH the prefix total
+       ``count(w1 .)`` and each bigram count, then collapses to
+       per-doc partials ``(doc_id, s, tf)`` before re-keying;
+    3. a second coarse-bucket exchange (doc_id % 256) folds the
+       per-doc partials with a vectorized in-group sum (Ray's native
+       sort-agg over |docs| groups measured ~2x slower).
 
-    Skew: stopword w1 groups are the hot keys; group size is bounded by
-    distinct (w2, doc) pairs, and the per-group kernel is a vectorized
-    pandas transform. At extreme corpus scale ``c * scale`` can
-    outgrow int64 (c > ~9.2e12); drop ``scale`` or widen to object
-    ints there — the plan shape is unchanged.
+    Skew: buckets are uniform under the hash; the hot stopword-w1
+    content spreads across docs, not buckets. At extreme corpus scale
+    ``c * scale`` can outgrow int64 (c > ~9.2e12); drop ``scale`` or
+    widen to object ints there — the plan shape is unchanged.
     """
     import ray.data
-    from ray.data.aggregate import Sum
 
+    from ..functions.hashing import fnv1a64_of_strings
+
+    n_buckets = 1024
     ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
     word_re = re.compile(TOKEN_RE)
 
@@ -1096,49 +1101,62 @@ def bigram_lm_score(sf_dir: str, scale: int = 10**6):
             w1s.append("")
             w2s.append("")
             tfs.append(0)
+        w1a = pa.array(w1s, pa.string())
+        bucket = (fnv1a64_of_strings(w1a) % n_buckets).astype(np.int64)
         return pa.table(
             {
+                "bucket": pa.array(bucket),
                 "doc_id": pa.array(ids, pa.int64()),
-                "w1": pa.array(w1s, pa.string()),
+                "w1": w1a,
                 "w2": pa.array(w2s, pa.string()),
                 "tf": pa.array(tfs, pa.int64()),
             }
         )
 
-    def score_group(g: pd.DataFrame) -> pd.DataFrame:
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
         tf = g["tf"].to_numpy(np.int64)
-        prefix = tf.sum()
-        if prefix > 0:
-            c_big = g.groupby("w2", sort=False)["tf"].transform("sum").to_numpy(
-                np.int64
-            )
-            s = tf * ((c_big * scale) // prefix)
-        else:  # the sentinel group ("" prefix): contributes 0 score
-            s = np.zeros(len(g), np.int64)
-        out = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64), "s": s, "tf": tf})
-        return out.groupby("doc_id", as_index=False).sum()
-
-    res = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("w1")
-        .map_groups(score_group, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(
-            Sum("s", alias_name="lm_score_scaled"),
-            Sum("tf", alias_name="n_bigrams"),
+        prefix = (
+            g.groupby("w1", sort=False)["tf"].transform("sum").to_numpy(np.int64)
         )
-    )
+        c_big = (
+            g.groupby(["w1", "w2"], sort=False)["tf"]
+            .transform("sum")
+            .to_numpy(np.int64)
+        )
+        # sentinel rows ("" prefix, tf=0) have prefix 0 -> score 0
+        s = tf * np.where(prefix > 0, (c_big * scale) // np.maximum(prefix, 1), 0)
+        out = pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(np.int64), "s": s, "tf": tf}
+        )
+        out = out.groupby("doc_id", as_index=False).sum()
+        # coarse re-key for the per-doc fold: Ray's native sort-agg
+        # over |docs| groups costs ~2x this whole plan; 256 bucket
+        # groups with a vectorized in-group sum is the cheap shape
+        out["dbucket"] = out["doc_id"] % 256
+        return out
 
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table(
+    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False)[["s", "tf"]].sum()
+        return pd.DataFrame(
             {
-                "doc_id": t["doc_id"],
-                "n_bigrams": pc.cast(t["n_bigrams"], pa.int64()),
-                "lm_score_scaled": pc.cast(t["lm_score_scaled"], pa.int64()),
+                "doc_id": out["doc_id"].astype("int64"),
+                "n_bigrams": out["tf"].astype("int64"),
+                "lm_score_scaled": out["s"].astype("int64"),
             }
         )
 
-    return res.map_batches(finish, batch_format="pyarrow")
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(score_bucket, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")  # normalize blocks
+        .groupby("dbucket")
+        .map_groups(final_bucket, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(["doc_id", "n_bigrams", "lm_score_scaled"]),
+            batch_format="pyarrow",
+        )
+    )
 
 
 # -- exact-substring span removal --------------------------------------------
