@@ -363,6 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_removal": training.dup_span_removal,
         "events_lag_delta": relational.events_lag_delta,
         "customers_no_orders": relational.customers_no_orders,
+        "lang_source_pivot": relational.lang_source_pivot,
+        "link_pagerank": relational.link_pagerank,
     }
 
 
@@ -1590,5 +1592,59 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
             FROM customer c
             GROUP BY 1
+        """,
+        "lang_source_pivot": """
+            SELECT source,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_en,
+                   CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_de,
+                   CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_fr,
+                   CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_es,
+                   CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zh
+            FROM documents
+            GROUP BY 1
+        """,
+        # integer-exact PageRank, 3 synchronous iterations unrolled
+        # (damping 85/100, rank scaled 1e6, truncating // on both sides)
+        "link_pagerank": """
+            WITH nn AS (SELECT COUNT(*) AS N FROM documents),
+            nodes AS (SELECT doc_id AS v FROM documents),
+            edges AS (
+              SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT N FROM nn) AS dst
+              FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 13 + 2) % (SELECT N FROM nn)
+              FROM documents
+            ),
+            r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes),
+            r1 AS (
+              SELECT nodes.v,
+                     CAST(150000 + 85 * COALESCE(t.s, 0) // 100 AS BIGINT) AS r
+              FROM nodes LEFT JOIN (
+                SELECT dst, SUM(r // 2) AS s
+                FROM edges JOIN r0 ON r0.v = edges.src GROUP BY 1
+              ) t ON t.dst = nodes.v
+            ),
+            r2 AS (
+              SELECT nodes.v,
+                     CAST(150000 + 85 * COALESCE(t.s, 0) // 100 AS BIGINT) AS r
+              FROM nodes LEFT JOIN (
+                SELECT dst, SUM(r // 2) AS s
+                FROM edges JOIN r1 ON r1.v = edges.src GROUP BY 1
+              ) t ON t.dst = nodes.v
+            ),
+            r3 AS (
+              SELECT nodes.v,
+                     CAST(150000 + 85 * COALESCE(t.s, 0) // 100 AS BIGINT) AS r
+              FROM nodes LEFT JOIN (
+                SELECT dst, SUM(r // 2) AS s
+                FROM edges JOIN r2 ON r2.v = edges.src GROUP BY 1
+              ) t ON t.dst = nodes.v
+            )
+            SELECT v AS doc_id, r AS rank_scaled FROM r3
         """,
     }

@@ -60,6 +60,15 @@ BENCH_QUERIES = (
     "decontaminate",
     "rare_token_mass",
     "line_dedup",
+    "tfidf_top_terms",
+    "bigram_lm_score",
+    "dup_span_removal",
+    "bloom_semi_join",
+    "audio_meta",
+    "gif_frame_sample",
+    "events_jsonl_agg",
+    "events_lag_delta",
+    "customers_no_orders",
 )
 
 

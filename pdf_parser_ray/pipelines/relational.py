@@ -943,3 +943,109 @@ def customers_no_orders(sf_dir: str):
             Sum("n_without_orders", alias_name="n_without_orders"),
         )
     )
+
+
+def lang_source_pivot(sf_dir: str):
+    """PIVOT (wide aggregate): per source, one doc-count column per
+    language. In-batch partial crosstab -> one tiny groupby; the column
+    set is the small KNOWN language domain, so the pivot has a fixed
+    schema (data-dependent pivots need a domain-discovery pass first)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    langs = ("en", "de", "fr", "es", "zh")
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["lang", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "lang"]).size().unstack(fill_value=0)
+        out = {"source": g.index.to_list()}
+        for l in langs:
+            out[f"n_{l}"] = (
+                g[l].to_numpy("int64")
+                if l in g.columns
+                else np.zeros(len(g), "int64")
+            )
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(*[Sum(f"n_{l}", alias_name=f"n_{l}") for l in langs])
+    )
+
+
+def link_pagerank(sf_dir: str, n_iter: int = 3):
+    """ITERATIVE graph algorithm: integer-exact PageRank over a
+    deterministic link graph (every doc links to ``(id*7+1) % N`` and
+    ``(id*13+2) % N``; out-degree exactly 2). ``n_iter`` synchronous
+    iterations, damping 0.85 in integer arithmetic
+    (``r' = 150000 + (85 * in_sum) // 100``, truncating on both sides,
+    rank scaled by 1e6) — so the unrolled-CTE DuckDB oracle matches
+    bit-for-bit; float PageRank would be order-dependent.
+
+    Distributed shape per iteration (no joins — the edge list is
+    formula-derived, so each task computes its nodes' OUT-contributions
+    directly): map_batches emits 2 keyed contribution rows + 1 zero
+    self-row per node, then one coarse-bucket exchange folds in-sums
+    and applies the damping update, vectorized per bucket. For a
+    materialized edge table the same shape works with contributions
+    emitted from an (edges |X| ranks) co-partitioned zip — the classic
+    Pregel step restated as Dataset exchanges.
+    """
+    import ray.data
+
+    n_buckets = 64
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
+    n_docs = ds.count()  # scalar only; the dataset itself still streams
+
+    ranks = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "v": pc.cast(t["doc_id"], pa.int64()),
+                "r": pa.array(
+                    np.full(len(t), 1_000_000, dtype=np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def contribute(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy().astype(np.int64)
+        r = t["r"].to_numpy().astype(np.int64)
+        share = r // 2
+        dst = np.concatenate([(v * 7 + 1) % n_docs, (v * 13 + 2) % n_docs, v])
+        val = np.concatenate([share, share, np.zeros(len(v), np.int64)])
+        return pa.table(
+            {
+                "bucket": pa.array(dst % n_buckets),
+                "v": pa.array(dst),
+                "c": pa.array(val),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("v", as_index=False)["c"].sum()
+        return pd.DataFrame(
+            {
+                "v": s["v"].astype("int64"),
+                "r": (150_000 + (85 * s["c"].astype("int64")) // 100).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    for _ in range(n_iter):
+        ranks = (
+            ranks.map_batches(contribute, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
+
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["v"], "rank_scaled": t["r"]}
+        ),
+        batch_format="pyarrow",
+    )

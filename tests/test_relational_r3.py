@@ -206,3 +206,22 @@ def test_events_lag_delta_matches_window_sql(ray_session):
         """
     ).df()
     assert list(got["prev_gap_us"]) == list(exp["prev_gap_us"])
+
+
+def test_link_pagerank_matches_numpy_simulation(ray_session):
+    from pdf_parser_ray.pipelines.relational import link_pagerank
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        link_pagerank(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    n = len(got)
+    r = np.full(n, 1_000_000, dtype=np.int64)
+    for _ in range(3):
+        s = np.zeros(n, dtype=np.int64)
+        v = np.arange(n, dtype=np.int64)
+        np.add.at(s, (v * 7 + 1) % n, r // 2)
+        np.add.at(s, (v * 13 + 2) % n, r // 2)
+        r = 150_000 + (85 * s) // 100
+    assert list(got["rank_scaled"]) == list(r)
+    assert list(got["doc_id"]) == list(range(n))
