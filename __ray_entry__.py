@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": relational.customers_no_orders,
         "lang_source_pivot": relational.lang_source_pivot,
         "link_pagerank": relational.link_pagerank,
+        "embedding_clusters": similarity.embedding_clusters,
     }
 
 
@@ -1646,5 +1647,20 @@ def oracle_sql() -> dict[str, str]:
               ) t ON t.dst = nodes.v
             )
             SELECT v AS doc_id, r AS rank_scaled FROM r3
+        """,
+        # nearest seed centroid by cosine, ties toward lower cid —
+        # integer-only output like ann_topk
+        "embedding_clusters": """
+            SELECT vec_id, cluster_id FROM (
+              SELECT e.vec_id, c.vec_id AS cluster_id,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(c.embedding AS DOUBLE[])) DESC,
+                       c.vec_id) AS rk
+              FROM embeddings e, embeddings c
+              WHERE c.vec_id >= 8 AND c.vec_id < 24
+            ) WHERE rk = 1
         """,
     }

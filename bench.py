@@ -69,6 +69,9 @@ BENCH_QUERIES = (
     "events_jsonl_agg",
     "events_lag_delta",
     "customers_no_orders",
+    "lang_source_pivot",
+    "link_pagerank",
+    "embedding_clusters",
 )
 
 

@@ -504,3 +504,48 @@ def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int 
         return float(va @ vb) >= threshold
 
     return _verify_pairs(sided, check)
+
+
+def embedding_clusters(sf_dir: str, n_queries: int = 8, n_centroids: int = 16):
+    """Document CLUSTERING over the embedding column (the SemDedup /
+    cluster-then-curate step): every vector is assigned to its nearest
+    of ``n_centroids`` deterministic seed centroids (the lowest corpus
+    vec_ids, predicate-pushdown read — the Lloyd-refined variant is
+    :func:`build_ivf_centroids`; seeds keep the assignment SQL-
+    restatable, since iterated float centroids are not).
+
+    Assignment is a per-batch argmax over one matmul against the
+    broadcast (n_centroids x dim) matrix — ties break toward the lowest
+    centroid id on both sides (np.argmax takes the first maximum; the
+    oracle orders by cosine DESC, cid ASC). Output is integer-only, so
+    the oracle hash is float-free."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    init = pq.read_table(
+        _p(sf_dir),
+        columns=["vec_id", "embedding"],
+        filters=[
+            ("vec_id", ">=", n_queries),
+            ("vec_id", "<", n_queries + n_centroids),
+        ],
+    )
+    order = np.argsort(init["vec_id"].to_numpy(), kind="stable")
+    cent_ids = init["vec_id"].to_numpy()[order]
+    cents = _normalize(
+        np.array(init["embedding"].to_pylist(), dtype=np.float64)[order]
+    )
+
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _normalize(_mat(batch))
+        best = np.argmax(m @ cents.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster_id": pa.array(cent_ids[best], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -225,3 +225,13 @@ def test_link_pagerank_matches_numpy_simulation(ray_session):
         r = 150_000 + (85 * s) // 100
     assert list(got["rank_scaled"]) == list(r)
     assert list(got["doc_id"]) == list(range(n))
+
+
+def test_embedding_clusters_seeds_self_assign(ray_session):
+    from pdf_parser_ray.pipelines.similarity import embedding_clusters
+
+    got = embedding_clusters("/root/testdata/sf0.001").to_pandas()
+    seeds = got[(got["vec_id"] >= 8) & (got["vec_id"] < 24)]
+    # a seed's nearest centroid is itself (cos = 1)
+    assert (seeds["cluster_id"] == seeds["vec_id"]).all()
+    assert set(got["cluster_id"]) <= set(range(8, 24))
