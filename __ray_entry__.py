@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_pivot": relational.lang_source_pivot,
         "link_pagerank": relational.link_pagerank,
         "embedding_clusters": similarity.embedding_clusters,
+        "events_csv_agg": relational.events_csv_agg,
     }
 
 
@@ -1662,5 +1663,17 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, embeddings c
               WHERE c.vec_id >= 8 AND c.vec_id < 24
             ) WHERE rk = 1
+        """,
+        # integer cents are cast before the CSV export, so the re-read
+        # aggregate matches the parquet side exactly
+        "events_csv_agg": """
+            SELECT event_type,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents,
+                   CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+                   CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY 1
         """,
     }

@@ -1049,3 +1049,69 @@ def link_pagerank(sf_dir: str, n_iter: int = 3):
         ),
         batch_format="pyarrow",
     )
+
+
+def events_csv_agg(sf_dir: str):
+    """CSV sink + source roundtrip (``Dataset.write_csv`` ->
+    ``ray.data.read_csv``), completing the source-format triad with
+    :func:`events_jsonl_agg` (parquet / JSONL / CSV). Doubles are cast
+    to integer cents BEFORE export — CSV float printing is
+    writer-dependent, integers are not — so the re-read aggregate is
+    bit-identical to the parquet oracle. Cached under /tmp keyed by the
+    source dir."""
+    import hashlib
+
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    cache = os.path.join(
+        "/tmp/graft_csv_cache",
+        hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    if not (os.path.isdir(cache) and os.listdir(cache)):
+        os.makedirs(cache, exist_ok=True)
+        ray.data.read_parquet(
+            _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "event_id": pc.cast(t["event_id"], pa.int64()),
+                    "event_type": t["event_type"],
+                    "value_cents": _cents(t["value"]),
+                }
+            ),
+            batch_format="pyarrow",
+        ).write_csv(cache)
+
+    ds = ray.data.read_csv(cache)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "event_type": t["event_type"],
+                "value_cents": pc.cast(t["value_cents"], pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        ).group_by("event_type").aggregate(
+            [
+                ("value_cents", "sum"),
+                ("event_id", "min"),
+                ("event_id", "max"),
+                ("n", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["event_type", "value_cents", "min_event_id", "max_event_id", "n_events"]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("value_cents", alias_name="value_cents"),
+            Min("min_event_id", alias_name="min_event_id"),
+            Max("max_event_id", alias_name="max_event_id"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )

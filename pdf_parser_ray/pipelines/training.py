@@ -1240,6 +1240,13 @@ def dup_span_removal(sf_dir: str, n: int = 8):
             g1, pc.multiply(pc.divide(g1, n_buckets), pa.scalar(n_buckets))
         )  # pyarrow has no modulo kernel
 
+    # position rows are emitted ONCE (tokenize + hash is the expensive
+    # in-batch work) and staged; the key side is derived from them by
+    # an in-batch distinct instead of a second corpus scan
+    raw_positions = ds.map_batches(
+        lambda b, _n=n: NGramPositionEmitter(_n)(b), batch_format="pyarrow"
+    ).materialize()
+
     def keys_side(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater_equal(t["n_docs"], pa.scalar(2, pa.int64())))
         z = pa.array(np.zeros(len(t), np.int64))
@@ -1254,8 +1261,15 @@ def dup_span_removal(sf_dir: str, n: int = 8):
             }
         )
 
+    def distinct_gram_doc(t: pa.Table) -> pa.Table:
+        # a doc lives wholly in one batch, so the in-batch distinct
+        # yields globally unique (gram, doc) rows -> Count == n_docs
+        return t.group_by(["g1", "g2", "doc_id"]).aggregate([]).select(
+            ["g1", "g2"]
+        )
+
     dup_keys = (
-        ds.map_batches(lambda b, _n=n: NGramEmitter(_n)(b), batch_format="pyarrow")
+        raw_positions.map_batches(distinct_gram_doc, batch_format="pyarrow")
         .groupby(["g1", "g2"])
         .aggregate(Count(alias_name="n_docs"))
         .map_batches(keys_side, batch_format="pyarrow")
@@ -1273,9 +1287,7 @@ def dup_span_removal(sf_dir: str, n: int = 8):
             }
         )
 
-    positions = ds.map_batches(
-        lambda b, _n=n: NGramPositionEmitter(_n)(b), batch_format="pyarrow"
-    ).map_batches(pos_side, batch_format="pyarrow")
+    positions = raw_positions.map_batches(pos_side, batch_format="pyarrow")
 
     def semi_join(g: pd.DataFrame) -> pd.DataFrame:
         keys = g[g["is_key"] == 1]
