@@ -367,6 +367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": relational.link_pagerank,
         "embedding_clusters": similarity.embedding_clusters,
         "events_csv_agg": relational.events_csv_agg,
+        "events_rolling_sum": relational.events_rolling_sum,
+        "events_federated_agg": relational.events_federated_agg,
     }
 
 
@@ -1672,6 +1674,24 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS value_cents,
                    CAST(MIN(event_id) AS BIGINT) AS min_event_id,
                    CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY 1
+        """,
+        "events_rolling_sum": """
+            SELECT event_id,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS rolling_cents
+            FROM events
+        """,
+        # the three-format federated union must equal the whole-table
+        # aggregate
+        "events_federated_agg": """
+            SELECT event_type,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events
             GROUP BY 1

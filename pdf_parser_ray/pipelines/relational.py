@@ -1136,3 +1136,111 @@ def events_csv_agg(sf_dir: str):
             Sum("n_events", alias_name="n_events"),
         )
     )
+
+
+def events_rolling_sum(sf_dir: str, window: int = 3):
+    """ROLLING window aggregate: per user, the sum of the last
+    ``window`` event values (integer cents, current row inclusive),
+    ordered by (ts, event_id). Same coarse-bucket shuffle as
+    :func:`events_running`; the rolling sum is one vectorized
+    pandas ``groupby(...).rolling`` per bucket."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.append_column("value_cents", _cents(t["value"])).drop(["value"])
+        return _with_user_bucket(t)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        r = (
+            g.groupby("user_id", sort=False)["value_cents"]
+            .rolling(window, min_periods=1)
+            .sum()
+            .droplevel(0)  # back to g's index -> explicit realignment
+            .reindex(g.index)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").to_numpy(),
+                "rolling_cents": r.astype("int64").to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(roll, batch_format="pandas")
+    )
+
+
+def events_federated_agg(sf_dir: str):
+    """FEDERATED read: one Dataset unioned from three source formats —
+    parquet (event_id % 3 == 0), JSONL (== 1) and CSV (== 2), the
+    latter two re-using the roundtrip exports of
+    :func:`events_jsonl_agg` / :func:`events_csv_agg` — aggregated per
+    event type. The result must equal the single-format whole-table
+    aggregate, which is what the oracle states. Integer cents are
+    normalized per arm BEFORE the union so the shuffled schema is
+    identical regardless of source."""
+    import hashlib
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def _cache(prefix: str) -> str:
+        return os.path.join(
+            prefix, hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        )
+
+    # ensure the exports exist (cached; cheap when already built)
+    events_jsonl_agg(sf_dir).count()
+    events_csv_agg(sf_dir).count()
+
+    def arm(t: pa.Table, residue: int, cents_col) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64())
+        keep = pc.equal(
+            pc.subtract(eid, pc.multiply(pc.divide(eid, 3), pa.scalar(3))),
+            pa.scalar(residue),
+        )
+        t = pa.table(
+            {"event_id": eid, "event_type": t["event_type"], "value_cents": cents_col(t)}
+        ).filter(keep)
+        return t
+
+    pq_arm = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    ).map_batches(
+        lambda t: arm(t, 0, lambda x: _cents(x["value"])), batch_format="pyarrow"
+    )
+    js_arm = ray.data.read_json(_cache("/tmp/graft_jsonl_cache")).map_batches(
+        lambda t: arm(t, 1, lambda x: _cents(x["value"])), batch_format="pyarrow"
+    )
+    csv_arm = ray.data.read_csv(_cache("/tmp/graft_csv_cache")).map_batches(
+        lambda t: arm(t, 2, lambda x: pc.cast(x["value_cents"], pa.int64())),
+        batch_format="pyarrow",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "event_type": t["event_type"],
+                "value_cents": t["value_cents"],
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        ).group_by("event_type").aggregate([("value_cents", "sum"), ("n", "sum")])
+        return g.rename_columns(["event_type", "value_cents", "n_events"])
+
+    return (
+        pq_arm.union(js_arm)
+        .union(csv_arm)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("value_cents", alias_name="value_cents"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
