@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_csv_agg": relational.events_csv_agg,
         "events_rolling_sum": relational.events_rolling_sum,
         "events_federated_agg": relational.events_federated_agg,
+        "high_value_orders": relational.high_value_orders,
     }
 
 
@@ -1694,6 +1695,15 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS value_cents,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events
+            GROUP BY 1
+        """,
+        "high_value_orders": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_totalprice > 300000 AND o_orderstatus = 'O'
             GROUP BY 1
         """,
     }

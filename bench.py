@@ -72,6 +72,9 @@ BENCH_QUERIES = (
     "lang_source_pivot",
     "link_pagerank",
     "embedding_clusters",
+    "events_csv_agg",
+    "events_rolling_sum",
+    "events_federated_agg",
 )
 
 

@@ -1244,3 +1244,38 @@ def events_federated_agg(sf_dir: str):
             Sum("n_events", alias_name="n_events"),
         )
     )
+
+
+def high_value_orders(sf_dir: str):
+    """Expression-pushdown filter: ``Dataset.filter(expr=...)`` compiles
+    the predicate to native Arrow compute (no Python UDF in the row
+    path), demonstrated as a filter -> partial-agg -> tiny groupby
+    plan: open high-value orders per priority."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    ).filter(expr="o_totalprice > 300000 and o_orderstatus == 'O'")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "revenue_cents": _cents(t["o_totalprice"]),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        ).group_by("o_orderpriority").aggregate(
+            [("revenue_cents", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(["o_orderpriority", "revenue_cents", "n_orders"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
