@@ -235,3 +235,41 @@ def test_embedding_clusters_seeds_self_assign(ray_session):
     # a seed's nearest centroid is itself (cos = 1)
     assert (seeds["cluster_id"] == seeds["vec_id"]).all()
     assert set(got["cluster_id"]) <= set(range(8, 24))
+
+
+def test_events_rolling_sum_short_users(ray_session, tmp_path):
+    """Users with fewer events than the window use min_periods=1
+    semantics (SQL ROWS BETWEEN 2 PRECEDING is the same)."""
+    from pdf_parser_ray.pipelines.relational import events_rolling_sum
+
+    ev = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7, 9], pa.int64()),
+            "ts": pa.array([100, 200, 300, 400, 100], pa.timestamp("us")),
+            "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+        }
+    )
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+    got = (
+        events_rolling_sum(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # user 7: 100, 100+200, 100+200+400, 200+400+800; user 9: 1600
+    assert list(got["rolling_cents"]) == [100, 300, 700, 1400, 1600]
+
+
+def test_high_value_orders_expression_filter(ray_session):
+    import duckdb
+
+    from pdf_parser_ray.pipelines.relational import high_value_orders
+
+    sf = "/root/testdata/sf0.001"
+    got = high_value_orders(sf).to_pandas()
+    exp = duckdb.sql(
+        f"""SELECT CAST(COUNT(*) AS BIGINT) FROM '{sf}/orders.parquet'
+            WHERE o_totalprice > 300000 AND o_orderstatus = 'O'"""
+    ).fetchone()[0]
+    assert got["n_orders"].sum() == exp
