@@ -280,7 +280,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pages.map_batches(project, batch_format="pyarrow")
 
-    from pdf_parser_ray.pipelines.curation import curation_pipeline
+    from pdf_parser_ray.pipelines.curation import (
+        boilerplate_dedup_pipeline,
+        curation_pipeline,
+    )
 
     return {
         # flagship composite: extract -> quality filter -> dedup
@@ -370,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_sum": relational.events_rolling_sum,
         "events_federated_agg": relational.events_federated_agg,
         "high_value_orders": relational.high_value_orders,
+        "boilerplate_dedup_pipeline": boilerplate_dedup_pipeline,
     }
 
 
@@ -1705,5 +1709,40 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_totalprice > 300000 AND o_orderstatus = 'O'
             GROUP BY 1
+        """,
+        # COMPOSITE #3 restated end to end: chrome lines rebuilt with
+        # ||, boilerplate df via COUNT(DISTINCT doc_id), cleaning via
+        # ordered string_agg, dedup via GROUP BY cleaned text
+        "boilerplate_dedup_pipeline": """
+            WITH l AS (
+              SELECT doc_id, 1 AS ord, text AS line FROM documents
+              UNION ALL
+              SELECT doc_id, 2, 'footer ' || (doc_id % 7) FROM documents
+              UNION ALL
+              SELECT doc_id, 3, 'banner ' || (doc_id % 3) FROM documents
+            ),
+            df AS (
+              SELECT line, COUNT(DISTINCT doc_id) AS n FROM l GROUP BY 1
+            ),
+            kept AS (
+              SELECT l.doc_id, l.ord, l.line
+              FROM l JOIN df USING (line) WHERE df.n < 3
+            ),
+            cleaned AS (
+              SELECT d.doc_id,
+                     COALESCE(string_agg(k.line, chr(10) ORDER BY k.ord),
+                              '') AS ctext
+              FROM documents d LEFT JOIN kept k USING (doc_id)
+              GROUP BY d.doc_id
+            ),
+            groups AS (
+              SELECT ctext, MIN(doc_id) AS keeper, COUNT(*) AS sz
+              FROM cleaned GROUP BY 1
+            )
+            SELECT c.doc_id,
+                   CAST(CASE WHEN c.doc_id = g.keeper THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_canonical,
+                   CAST(g.sz AS BIGINT) AS dup_group_size
+            FROM cleaned c JOIN groups g USING (ctext)
         """,
     }

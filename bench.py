@@ -75,6 +75,8 @@ BENCH_QUERIES = (
     "events_csv_agg",
     "events_rolling_sum",
     "events_federated_agg",
+    "high_value_orders",
+    "boilerplate_dedup_pipeline",
 )
 
 

@@ -427,3 +427,80 @@ def test_dup_span_removal_split_spans(ray_session, tmp_path):
     assert list(got["n_spans"]) == [2, 2]
     assert list(got["n_removed_tokens"]) == [16, 16]
     assert list(got["n_dup_positions"]) == [2, 2]
+
+
+def test_boilerplate_dedup_pipeline_cleaning_enables_dedup(
+    ray_session, tmp_path
+):
+    """Mixed corpus (some chrome boilerplate, some kept): the engine
+    must agree exactly with an independent local rebuild of df ->
+    strip -> dedup."""
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.curation import boilerplate_dedup_pipeline
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 7, 14, 21, 1, 2], pa.int64()),
+            "text": ["same page", "same page", "a", "b", "c", "d"],
+            "lang": ["en"] * 6,
+            "source": ["t"] * 6,
+            "n_chars": pa.array([1] * 6, pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = (
+        boilerplate_dedup_pipeline(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # assert exact agreement with an independent local rebuild of the
+    # whole chain (line df -> strip -> group by cleaned text)
+    lines = {
+        i: [t, f"footer {i % 7}", f"banner {i % 3}"]
+        for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    from collections import Counter
+
+    df = Counter()
+    for i, ls in lines.items():
+        df.update(set(ls))
+    cleaned = {
+        i: "\n".join(l for l in ls if df[l] < 3) for i, ls in lines.items()
+    }
+    groups = Counter(cleaned.values())
+    for i, c in cleaned.items():
+        assert got.loc[i, "dup_group_size"] == groups[c]
+        keeper = min(j for j, cj in cleaned.items() if cj == c)
+        assert got.loc[i, "is_canonical"] == int(i == keeper)
+
+
+def test_boilerplate_dedup_merges_chrome_variants(ray_session, tmp_path):
+    """The headline story: same text + both chrome lines boilerplate ->
+    one dup group across chrome variants."""
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.curation import boilerplate_dedup_pipeline
+
+    # 6 docs, all text 'same', ids chosen so every footer/banner value
+    # appears >= 3 times -> all chrome removed -> one group of 6
+    ids = [0, 21, 42, 63, 84, 105]  # all % 7 == 0, % 3 == 0
+    docs = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": ["same"] * 6,
+            "lang": ["en"] * 6,
+            "source": ["t"] * 6,
+            "n_chars": pa.array([4] * 6, pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = (
+        boilerplate_dedup_pipeline(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["dup_group_size"]) == [6] * 6
+    assert list(got["is_canonical"]) == [1, 0, 0, 0, 0, 0]
