@@ -1205,13 +1205,18 @@ def dup_span_removal(sf_dir: str, n: int = 8):
 
     Where :func:`dup_ngram_mass` computes only the per-doc mass (one
     aggregate-only exchange), span removal genuinely needs the
-    positions back, so the minimal plan is:
+    positions back — and ONE exchange still suffices, because the
+    coarse bucket key depends only on the gram hash: every position of
+    a given gram lands in the same bucket group, so the dup test
+    (distinct doc count >= 2 per gram) runs INSIDE the group as a
+    vectorized transform. No separate dup-key side, no join:
 
-    1. distinct (gram, doc) rows -> per-gram native Count -> the DUP
-       gram key set (n_docs >= 2) — the only full-gram exchange;
-    2. position rows (g1, g2, doc_id, pos) hash-JOIN (semi) against
-       the dup keys — dup grams are a small fraction of all grams, so
-       the join output is far smaller than its probe side;
+    1. position rows (bucket(g1), g1, g2, doc_id, pos) — the only
+       full-size exchange (coarse 1024-way bucket, uniform under
+       blake2b);
+    2. per-bucket vectorized filter: keep positions whose gram spans
+       >= 2 distinct docs (pandas groupby-transform nunique — 1024
+       groups, never per-gram Python);
     3. per-doc interval union (vectorized numpy in map_groups): sites
        within n of each other merge ([p, p+n-1] token windows).
 
@@ -1219,17 +1224,11 @@ def dup_span_removal(sf_dir: str, n: int = 8):
     spans of ANY length >= threshold; the n-gram-seeded variant here is
     the standard map-reduce restatement (equal exchange shape, lower
     constant than shipping suffixes). Collisionless under blake2b-128.
-
-    The semi-join is REDUCE-SIDE and co-shuffled (the dedup-family
-    pattern): both sides key on a COARSE bucket of the gram hash, one
-    groupby co-locates a bucket's dup keys with its position rows, and
-    a vectorized in-group merge keeps matching positions. Per-gram
-    groups (millions, interpreter-bound) and ``Dataset.join`` (whose
-    per-partition aggregator actors reject the empty partitions a
-    sparse key side produces) are both avoided.
+    Per-gram groups (millions, interpreter-bound) and ``Dataset.join``
+    (whose per-partition aggregator actors reject the empty partitions
+    a sparse key side produces) are both avoided.
     """
     import ray.data
-    from ray.data.aggregate import Count
 
     n_buckets = 1024
     ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
@@ -1240,41 +1239,6 @@ def dup_span_removal(sf_dir: str, n: int = 8):
             g1, pc.multiply(pc.divide(g1, n_buckets), pa.scalar(n_buckets))
         )  # pyarrow has no modulo kernel
 
-    # position rows are emitted ONCE (tokenize + hash is the expensive
-    # in-batch work) and staged; the key side is derived from them by
-    # an in-batch distinct instead of a second corpus scan
-    raw_positions = ds.map_batches(
-        lambda b, _n=n: NGramPositionEmitter(_n)(b), batch_format="pyarrow"
-    ).materialize()
-
-    def keys_side(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater_equal(t["n_docs"], pa.scalar(2, pa.int64())))
-        z = pa.array(np.zeros(len(t), np.int64))
-        return pa.table(
-            {
-                "bucket": pc.cast(_bucket(t), pa.int64()),
-                "g1": t["g1"],
-                "g2": t["g2"],
-                "doc_id": z,
-                "pos": z,
-                "is_key": pa.array(np.ones(len(t), np.int64)),
-            }
-        )
-
-    def distinct_gram_doc(t: pa.Table) -> pa.Table:
-        # a doc lives wholly in one batch, so the in-batch distinct
-        # yields globally unique (gram, doc) rows -> Count == n_docs
-        return t.group_by(["g1", "g2", "doc_id"]).aggregate([]).select(
-            ["g1", "g2"]
-        )
-
-    dup_keys = (
-        raw_positions.map_batches(distinct_gram_doc, batch_format="pyarrow")
-        .groupby(["g1", "g2"])
-        .aggregate(Count(alias_name="n_docs"))
-        .map_batches(keys_side, batch_format="pyarrow")
-    )
-
     def pos_side(t: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -1283,23 +1247,23 @@ def dup_span_removal(sf_dir: str, n: int = 8):
                 "g2": t["g2"],
                 "doc_id": t["doc_id"],
                 "pos": t["pos"],
-                "is_key": pa.array(np.zeros(len(t), np.int64)),
             }
         )
 
-    positions = raw_positions.map_batches(pos_side, batch_format="pyarrow")
+    positions = ds.map_batches(
+        lambda b, _n=n: NGramPositionEmitter(_n)(b), batch_format="pyarrow"
+    ).map_batches(pos_side, batch_format="pyarrow")
 
-    def semi_join(g: pd.DataFrame) -> pd.DataFrame:
-        keys = g[g["is_key"] == 1]
-        probe = g[g["is_key"] == 0]
-        hit = probe.merge(keys[["g1", "g2"]], on=["g1", "g2"], how="inner")
-        return hit[["doc_id", "pos"]]
+    def filter_dup(g: pd.DataFrame) -> pd.DataFrame:
+        n_docs = g.groupby(["g1", "g2"], sort=False)["doc_id"].transform(
+            "nunique"
+        )
+        return g.loc[n_docs >= 2, ["doc_id", "pos"]]
 
     joined = (
-        positions.union(dup_keys)
+        positions.groupby("bucket")
+        .map_groups(filter_dup, batch_format="pandas")
         .map_batches(lambda t: t, batch_format="pyarrow")  # normalize blocks
-        .groupby("bucket")
-        .map_groups(semi_join, batch_format="pandas")
     )
 
     def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
