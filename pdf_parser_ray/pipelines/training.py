@@ -509,15 +509,20 @@ def tfidf_top_terms(sf_dir: str, k: int = 3):
 
     1. in-batch partial -> distinct ``(doc_id, word, tf)`` rows (a doc
        lives wholly in one batch, so per-batch tf is final);
-    2. ``groupby(word).map_groups`` — ONE exchange attaches df
-       (= group row count) AND computes scores; no second corpus scan,
-       no df-table join, no broadcast of an unbounded vocabulary;
+    2. ONE exchange on a coarse bucket of hash(word) — every row of a
+       word co-locates, so a vectorized in-group transform attaches df
+       (= per-word row count) and computes scores (1024 pandas groups,
+       never |vocab| groups; no second corpus scan, no df-table join,
+       no broadcast of an unbounded vocabulary);
     3. per-batch local top-k per doc (top-k partials merge), pruning
        the second exchange to <= k rows per (doc, batch);
     4. ``groupby(doc_id).map_groups`` re-ranks the partials.
     """
     import ray.data
 
+    from ..functions.hashing import fnv1a64_of_strings
+
+    n_buckets = 1024
     ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
     word_re = re.compile(TOKEN_RE)
     scale = 10**12
@@ -529,20 +534,26 @@ def tfidf_top_terms(sf_dir: str, k: int = 3):
             ids.extend([i] * len(c))
             words.extend(c.keys())
             tfs.extend(c.values())
+        wa = pa.array(words, pa.string())
+        bucket = (fnv1a64_of_strings(wa) % n_buckets).astype(np.int64)
         return pa.table(
             {
+                "bucket": pa.array(bucket),
                 "doc_id": pa.array(ids, pa.int64()),
-                "word": pa.array(words, pa.string()),
+                "word": wa,
                 "tf": pa.array(tfs, pa.int64()),
             }
         )
 
     def score_group(g: pd.DataFrame) -> pd.DataFrame:
-        df_count = np.int64(len(g))
         g = g.copy()
-        g["df"] = df_count
-        g["score_scaled"] = (g["tf"].to_numpy(np.int64) * scale) // df_count
-        return g
+        g["df"] = (
+            g.groupby("word", sort=False)["word"].transform("size").astype("int64")
+        )
+        g["score_scaled"] = (g["tf"].to_numpy(np.int64) * scale) // g[
+            "df"
+        ].to_numpy(np.int64)
+        return g.drop(columns=["bucket"])
 
     def local_topk(b: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -572,9 +583,10 @@ def tfidf_top_terms(sf_dir: str, k: int = 3):
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
+        .groupby("bucket")
         .map_groups(score_group, batch_format="pandas")
         .map_batches(local_topk, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")  # normalize blocks
         .groupby("doc_id")
         .map_groups(final_topk, batch_format="pandas")
     )
