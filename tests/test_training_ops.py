@@ -504,3 +504,28 @@ def test_boilerplate_dedup_merges_chrome_variants(ray_session, tmp_path):
     )
     assert list(got["dup_group_size"]) == [6] * 6
     assert list(got["is_canonical"]) == [1, 0, 0, 0, 0, 0]
+
+
+def test_dup_span_removal_identical_doc_flood(ray_session, tmp_path):
+    """Adversarial skew: many identical docs -> every position is a dup
+    site, group sizes are linear in corpus (the in-group dup test is a
+    transform, not a pair generator), and the result stays exact."""
+    import pyarrow.parquet as pq
+
+    n_docs, text = 600, " ".join(f"w{i}" for i in range(40))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": [text] * n_docs,
+            "lang": ["en"] * n_docs,
+            "source": ["t"] * n_docs,
+            "n_chars": pa.array([len(text)] * n_docs, pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = training.dup_span_removal(str(tmp_path)).to_pandas()
+    assert len(got) == n_docs
+    # 40 tokens -> 33 8-gram positions, one merged span covering all 40
+    assert (got["n_dup_positions"] == 33).all()
+    assert (got["n_spans"] == 1).all()
+    assert (got["n_removed_tokens"] == 40).all()
