@@ -25,6 +25,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+# version key for the /tmp JSONL/CSV export caches: bump when the
+# exported projection changes, or stale caches serve the old layout
+_EXPORT_VER = "v1|"
+
+
 def _p(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -805,7 +810,7 @@ def events_jsonl_agg(sf_dir: str):
 
     cache = os.path.join(
         "/tmp/graft_jsonl_cache",
-        hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+        hashlib.sha1((_EXPORT_VER + os.path.abspath(sf_dir)).encode()).hexdigest()[:12],
     )
     if not (os.path.isdir(cache) and os.listdir(cache)):
         os.makedirs(cache, exist_ok=True)
@@ -1071,7 +1076,7 @@ def events_csv_agg(sf_dir: str):
 
     cache = os.path.join(
         "/tmp/graft_csv_cache",
-        hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+        hashlib.sha1((_EXPORT_VER + os.path.abspath(sf_dir)).encode()).hexdigest()[:12],
     )
     if not (os.path.isdir(cache) and os.listdir(cache)):
         os.makedirs(cache, exist_ok=True)
@@ -1177,7 +1182,10 @@ def events_federated_agg(sf_dir: str):
 
     def _cache(prefix: str) -> str:
         return os.path.join(
-            prefix, hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+            prefix,
+            hashlib.sha1(
+                (_EXPORT_VER + os.path.abspath(sf_dir)).encode()
+            ).hexdigest()[:12],
         )
 
     # ensure the exports exist (cached; cheap when already built)
