@@ -273,3 +273,26 @@ def test_high_value_orders_expression_filter(ray_session):
             WHERE o_totalprice > 300000 AND o_orderstatus = 'O'"""
     ).fetchone()[0]
     assert got["n_orders"].sum() == exp
+
+
+def test_link_pagerank_single_node_corpus(ray_session, tmp_path):
+    """n=1: both formula edges are self-loops; rank converges to the
+    damping fixpoint of r' = 150000 + (85*r)//100."""
+    from pdf_parser_ray.pipelines.relational import link_pagerank
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": ["x"],
+            "lang": ["en"],
+            "source": ["t"],
+            "n_chars": pa.array([1], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = link_pagerank(str(tmp_path)).to_pandas()
+    r = 1_000_000
+    for _ in range(3):
+        r = 150_000 + (85 * (2 * (r // 2))) // 100
+    assert list(got["doc_id"]) == [0]
+    assert list(got["rank_scaled"]) == [r]
