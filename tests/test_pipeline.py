@@ -255,3 +255,34 @@ def test_staged_job_matches_unstaged(ray_session, pages_path, tmp_path):
     import ray.data
 
     assert ray.data.read_parquet(out_dir).count() == 500
+
+
+def test_cli_run_extract_and_manifest(ray_session, tmp_path, capsys):
+    """The `ray job submit` entrypoint end to end: synth -> run-extract
+    -> manifest, all through cli.main (Ray already initialised, as on a
+    cluster)."""
+    import json
+
+    from pdf_parser_ray import cli
+    from pdf_parser_ray.sources.synth import build_pages_table
+
+    pages = build_pages_table("/root/testdata/sf0.001", repeat=1)
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        [
+            "run-extract",
+            "--input", pages,
+            "--out", out,
+            "--units", "2",
+            "--partitions", "8",
+        ]
+    )
+    assert rc in (0, None)
+    capsys.readouterr()
+    rc = cli.main(["manifest", "--out", out])
+    assert rc in (0, None)
+    man = json.loads(capsys.readouterr().out)
+    units = man["units"] if isinstance(man, dict) and "units" in man else man
+    entries = list(units.values()) if isinstance(units, dict) else list(units)
+    assert len(entries) >= 2  # 2 data units (+ possible summary entry)
+    assert sum(u["rows"] for u in entries) == 500
