@@ -710,6 +710,9 @@ def bloom_semi_join(sf_dir: str, m_bits: int = 1 << 20, n_hashes: int = 4):
     import ray.data
     from ray.data.aggregate import Sum
 
+    # materialized once: both the bitmap build and the exact join
+    # consume the key set, and a lazy plan would re-scan orders per
+    # consumer (the object store holds/spills the filtered keys)
     urgent = ray.data.read_parquet(
         _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
     ).map_batches(
@@ -717,7 +720,7 @@ def bloom_semi_join(sf_dir: str, m_bits: int = 1 << 20, n_hashes: int = 4):
             ["o_orderkey"]
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()
 
     def partial_bloom(t: pa.Table) -> pa.Table:
         keys = t["o_orderkey"].to_numpy().astype(np.int64)
