@@ -792,6 +792,54 @@ def bloom_semi_join(sf_dir: str, m_bits: int = 1 << 20, n_hashes: int = 4):
 # -- JSONL source roundtrip --------------------------------------------------
 
 
+def _export_cache_dir(prefix: str, sf_dir: str) -> str:
+    import hashlib
+
+    return os.path.join(
+        prefix,
+        hashlib.sha1(
+            (_EXPORT_VER + os.path.abspath(sf_dir)).encode()
+        ).hexdigest()[:12],
+    )
+
+
+def _ensure_jsonl_export(sf_dir: str) -> str:
+    """Write the projected events JSONL export once per (sf, version);
+    the export itself is the only work — no aggregate runs here."""
+    import ray.data
+
+    cache = _export_cache_dir("/tmp/graft_jsonl_cache", sf_dir)
+    if not (os.path.isdir(cache) and os.listdir(cache)):
+        os.makedirs(cache, exist_ok=True)
+        ray.data.read_parquet(
+            _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+        ).write_json(cache)
+    return cache
+
+
+def _ensure_csv_export(sf_dir: str) -> str:
+    """Same for CSV, with doubles cast to integer cents BEFORE export
+    (CSV float printing is writer-dependent, integers are not)."""
+    import ray.data
+
+    cache = _export_cache_dir("/tmp/graft_csv_cache", sf_dir)
+    if not (os.path.isdir(cache) and os.listdir(cache)):
+        os.makedirs(cache, exist_ok=True)
+        ray.data.read_parquet(
+            _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "event_id": pc.cast(t["event_id"], pa.int64()),
+                    "event_type": t["event_type"],
+                    "value_cents": _cents(t["value"]),
+                }
+            ),
+            batch_format="pyarrow",
+        ).write_csv(cache)
+    return cache
+
+
 def events_jsonl_agg(sf_dir: str):
     """Source-format coverage: the events table is exported as JSONL
     (``Dataset.write_json``, one shard per block — the WET/WAT-style
@@ -806,22 +854,10 @@ def events_jsonl_agg(sf_dir: str):
     round-trip exactly (shortest-repr print, exact parse), so the
     integer-cents aggregate is bit-identical to the parquet oracle.
     """
-    import hashlib
-
     import ray.data
     from ray.data.aggregate import Max, Min, Sum
 
-    cache = os.path.join(
-        "/tmp/graft_jsonl_cache",
-        hashlib.sha1((_EXPORT_VER + os.path.abspath(sf_dir)).encode()).hexdigest()[:12],
-    )
-    if not (os.path.isdir(cache) and os.listdir(cache)):
-        os.makedirs(cache, exist_ok=True)
-        ray.data.read_parquet(
-            _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
-        ).write_json(cache)
-
-    ds = ray.data.read_json(cache)
+    ds = ray.data.read_json(_ensure_jsonl_export(sf_dir))
 
     def partial(t: pa.Table) -> pa.Table:
         t2 = pa.table(
@@ -1072,31 +1108,10 @@ def events_csv_agg(sf_dir: str):
     writer-dependent, integers are not — so the re-read aggregate is
     bit-identical to the parquet oracle. Cached under /tmp keyed by the
     source dir."""
-    import hashlib
-
     import ray.data
     from ray.data.aggregate import Max, Min, Sum
 
-    cache = os.path.join(
-        "/tmp/graft_csv_cache",
-        hashlib.sha1((_EXPORT_VER + os.path.abspath(sf_dir)).encode()).hexdigest()[:12],
-    )
-    if not (os.path.isdir(cache) and os.listdir(cache)):
-        os.makedirs(cache, exist_ok=True)
-        ray.data.read_parquet(
-            _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
-        ).map_batches(
-            lambda t: pa.table(
-                {
-                    "event_id": pc.cast(t["event_id"], pa.int64()),
-                    "event_type": t["event_type"],
-                    "value_cents": _cents(t["value"]),
-                }
-            ),
-            batch_format="pyarrow",
-        ).write_csv(cache)
-
-    ds = ray.data.read_csv(cache)
+    ds = ray.data.read_csv(_ensure_csv_export(sf_dir))
 
     def partial(t: pa.Table) -> pa.Table:
         g = pa.table(
@@ -1178,22 +1193,11 @@ def events_federated_agg(sf_dir: str):
     aggregate, which is what the oracle states. Integer cents are
     normalized per arm BEFORE the union so the shuffled schema is
     identical regardless of source."""
-    import hashlib
-
     import ray.data
     from ray.data.aggregate import Sum
 
-    def _cache(prefix: str) -> str:
-        return os.path.join(
-            prefix,
-            hashlib.sha1(
-                (_EXPORT_VER + os.path.abspath(sf_dir)).encode()
-            ).hexdigest()[:12],
-        )
-
-    # ensure the exports exist (cached; cheap when already built)
-    events_jsonl_agg(sf_dir).count()
-    events_csv_agg(sf_dir).count()
+    jsonl_dir = _ensure_jsonl_export(sf_dir)
+    csv_dir = _ensure_csv_export(sf_dir)
 
     def arm(t: pa.Table, residue: int, cents_col) -> pa.Table:
         eid = pc.cast(t["event_id"], pa.int64())
@@ -1211,10 +1215,10 @@ def events_federated_agg(sf_dir: str):
     ).map_batches(
         lambda t: arm(t, 0, lambda x: _cents(x["value"])), batch_format="pyarrow"
     )
-    js_arm = ray.data.read_json(_cache("/tmp/graft_jsonl_cache")).map_batches(
+    js_arm = ray.data.read_json(jsonl_dir).map_batches(
         lambda t: arm(t, 1, lambda x: _cents(x["value"])), batch_format="pyarrow"
     )
-    csv_arm = ray.data.read_csv(_cache("/tmp/graft_csv_cache")).map_batches(
+    csv_arm = ray.data.read_csv(csv_dir).map_batches(
         lambda t: arm(t, 2, lambda x: pc.cast(x["value_cents"], pa.int64())),
         batch_format="pyarrow",
     )
