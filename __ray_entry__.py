@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_federated_agg": relational.events_federated_agg,
         "high_value_orders": relational.high_value_orders,
         "boilerplate_dedup_pipeline": boilerplate_dedup_pipeline,
+        "doc_rollup": relational.doc_rollup,
     }
 
 
@@ -1744,5 +1745,14 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS is_canonical,
                    CAST(g.sz AS BIGINT) AS dup_group_size
             FROM cleaned c JOIN groups g USING (ctext)
+        """,
+        # GROUP BY ROLLUP with the engine's '' marker for rolled levels
+        "doc_rollup": """
+            SELECT COALESCE(lang, '') AS lang,
+                   COALESCE(source, '') AS source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY ROLLUP (lang, source)
         """,
     }

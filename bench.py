@@ -77,6 +77,7 @@ BENCH_QUERIES = (
     "events_federated_agg",
     "high_value_orders",
     "boilerplate_dedup_pipeline",
+    "doc_rollup",
 )
 
 

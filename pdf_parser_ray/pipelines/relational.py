@@ -1278,3 +1278,61 @@ def high_value_orders(sf_dir: str):
             Sum("n_orders", alias_name="n_orders"),
         )
     )
+
+
+def doc_rollup(sf_dir: str):
+    """ROLLUP aggregate (hierarchical subtotals): doc counts + char
+    sums at (lang, source), (lang) and grand-total levels, with ''
+    as the rolled-up marker (what the SQL oracle COALESCEs NULL to).
+
+    One corpus scan: the in-batch partial collapses to the FINEST
+    level, and the two coarser levels are derived from those partial
+    rows inside the same batch (3 level-tagged rows per (batch, lang,
+    source) ride the one exchange — never the corpus, and never three
+    scans)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["lang", "source", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        fine = (
+            pa.table(
+                {
+                    "lang": t["lang"],
+                    "source": t["source"],
+                    "n_docs": pa.array(np.ones(len(t), dtype=np.int64)),
+                    "sum_chars": pc.cast(t["n_chars"], pa.int64()),
+                }
+            )
+            .group_by(["lang", "source"])
+            .aggregate([("n_docs", "sum"), ("sum_chars", "sum")])
+            .rename_columns(["lang", "source", "n_docs", "sum_chars"])
+        )
+        df = fine.to_pandas()
+        mid = df.groupby("lang", as_index=False)[["n_docs", "sum_chars"]].sum()
+        mid["source"] = ""
+        top = pd.DataFrame(
+            {
+                "lang": [""],
+                "source": [""],
+                "n_docs": [df["n_docs"].sum()],
+                "sum_chars": [df["sum_chars"].sum()],
+            }
+        )
+        out = pd.concat(
+            [df, mid[["lang", "source", "n_docs", "sum_chars"]], top],
+            ignore_index=True,
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+    )
