@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_value_orders": relational.high_value_orders,
         "boilerplate_dedup_pipeline": boilerplate_dedup_pipeline,
         "doc_rollup": relational.doc_rollup,
+        "url_canonicalize": training.url_canonicalize,
     }
 
 
@@ -1754,5 +1755,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents
             GROUP BY ROLLUP (lang, source)
+        """,
+        # the messy variant is rebuilt with ||, then the SAME
+        # canonicalization steps are restated in SQL string functions
+        "url_canonicalize": """
+            WITH raw AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0
+                       THEN 'https://site' || (doc_id % 97)
+                            || '.example/p/' || doc_id
+                       ELSE 'HTTPS://Site' || (doc_id % 97)
+                            || '.EXAMPLE:443/p/' || doc_id
+                            || '/?utm_source=feed&ref=' || (doc_id % 5)
+                     END AS url
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id, regexp_replace(url, '\\?.*$', '') AS u FROM raw
+            ),
+            s2 AS (
+              SELECT doc_id,
+                     lower(regexp_extract(u, '^[A-Za-z]+://[^/]*'))
+                       || substr(u,
+                            len(regexp_extract(u, '^[A-Za-z]+://[^/]*')) + 1)
+                       AS u
+              FROM s1
+            ),
+            s3 AS (SELECT doc_id, replace(u, ':443/', '/') AS u FROM s2),
+            s4 AS (SELECT doc_id, rtrim(u, '/') AS u FROM s3)
+            SELECT s4.doc_id, s4.u AS url_canon,
+                   CAST(s4.doc_id % 2 AS BIGINT) AS was_messy,
+                   CAST(CASE WHEN s4.u = 'https://site' || (s4.doc_id % 97)
+                               || '.example/p/' || s4.doc_id
+                        THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok
+            FROM s4
         """,
     }

@@ -78,6 +78,7 @@ BENCH_QUERIES = (
     "high_value_orders",
     "boilerplate_dedup_pipeline",
     "doc_rollup",
+    "url_canonicalize",
 )
 
 

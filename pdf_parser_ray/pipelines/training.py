@@ -1288,3 +1288,49 @@ def dup_span_removal(sf_dir: str, n: int = 8):
     return (
         joined.groupby("doc_id").map_groups(merge_spans, batch_format="pandas")
     )
+
+
+# -- URL canonicalization ----------------------------------------------------
+
+
+def url_canonicalize(sf_dir: str):
+    """URL canonicalization (the step BEFORE url-level dedup in
+    C4/CommonCrawl pipelines): lowercase scheme+host, strip the default
+    https port, strip tracking query params, strip the trailing slash.
+
+    The corpus URLs are already clean, so odd doc_ids first get a
+    deterministic MESSY variant (upper-cased host, ``:443``, ``utm_``/
+    ``ref`` params, trailing slash — SQL-restatable, the pii_redact
+    pattern); the canonical form of every row must then equal the
+    clean original. Fully vectorized pandas string ops; no shuffle."""
+    import ray.data
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id"])
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"]
+        clean = (
+            "https://site" + (ids % 97).astype(str) + ".example/p/" + ids.astype(str)
+        )
+        messy = (
+            "HTTPS://Site" + (ids % 97).astype(str) + ".EXAMPLE:443/p/"
+            + ids.astype(str) + "/?utm_source=feed&ref=" + (ids % 5).astype(str)
+        )
+        raw = clean.where(ids % 2 == 0, messy)
+        c = raw.str.replace(r"\?.*$", "", regex=True)  # strip query
+        # lowercase scheme+host (authority part), keep the path casing
+        c = c.str.replace(
+            r"^([A-Za-z]+://[^/]*)", lambda m: m.group(1).lower(), regex=True
+        )
+        c = c.str.replace(":443/", "/", regex=False)
+        c = c.str.rstrip("/")
+        return pd.DataFrame(
+            {
+                "doc_id": ids.astype("int64"),
+                "url_canon": c,
+                "was_messy": (ids % 2 == 1).astype("int64"),
+                "roundtrip_ok": (c == clean).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(canon, batch_format="pandas")
