@@ -281,6 +281,13 @@ def decode_gif_frames(
             )
         if not frames:
             fw, fh = width, height
+        elif (width, height) != (fw, fh):
+            # the decoder has no compositing canvas: every frame must
+            # cover the same full-frame rect, or callers would see
+            # inconsistent frame lengths silently
+            raise GifError(
+                f"frame {len(frames)} is {width}x{height}, first frame {fw}x{fh}"
+            )
         frames.append(indices)
         if max_frames is not None and len(frames) >= max_frames:
             return fw, fh, palette, frames

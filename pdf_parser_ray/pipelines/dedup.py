@@ -37,6 +37,7 @@ from ..functions.hashing import (
     simhash64,
 )
 from .textstats import TOKEN_RE
+from .extract_pipeline import default_concurrency
 
 DUP_OFFSET = 10_000_000
 
@@ -766,7 +767,7 @@ def simhash_fingerprints(sf_dir: str, max_hamming: int = 6):
                 }
             )
 
-    banded = ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=(1, 4))
+    banded = ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=default_concurrency())
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out = [], []

@@ -19,6 +19,8 @@ import hashlib
 
 import pyarrow as pa
 
+from .extract_pipeline import default_concurrency
+
 MAGIC = (
     (b"%PDF-", "application/pdf"),
     (b"GIF89a", "image/gif"),
@@ -216,7 +218,7 @@ def pdf_image_stats(sf_dir: str):
 
     pages = read_pages(sf_dir)
     return pages.map_batches(
-        PdfImageStats, batch_format="pyarrow", batch_size=128, concurrency=(1, 4)
+        PdfImageStats, batch_format="pyarrow", batch_size=128, concurrency=default_concurrency()
     )
 
 
@@ -226,7 +228,7 @@ def media_meta(sf_dir: str):
 
     pages = read_pages(sf_dir)
     return pages.map_batches(
-        MediaMeta, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        MediaMeta, batch_format="pyarrow", batch_size=64, concurrency=default_concurrency()
     )
 
 
@@ -293,7 +295,7 @@ def gif_frame_sample(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
     return ds.map_batches(
-        GifFrameSampler, batch_format="pyarrow", batch_size=128, concurrency=(1, 4)
+        GifFrameSampler, batch_format="pyarrow", batch_size=128, concurrency=default_concurrency()
     )
 
 
@@ -358,5 +360,5 @@ def audio_meta(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
     return ds.map_batches(
-        AudioMetaSampler, batch_format="pyarrow", batch_size=128, concurrency=(1, 4)
+        AudioMetaSampler, batch_format="pyarrow", batch_size=128, concurrency=default_concurrency()
     )

@@ -793,28 +793,63 @@ def bloom_semi_join(sf_dir: str, m_bits: int = 1 << 20, n_hashes: int = 4):
 
 
 def _export_cache_dir(prefix: str, sf_dir: str) -> str:
+    """Cache key = version + path + INPUT FINGERPRINT (size+mtime of
+    events.parquet), so a regenerated events table at the same path
+    gets a fresh export instead of the stale one — the same staleness
+    class extract_pipeline._input_fingerprint guards against."""
     import hashlib
 
+    from .extract_pipeline import _input_fingerprint
+
+    src = _p(sf_dir, "events")
     return os.path.join(
         prefix,
         hashlib.sha1(
-            (_EXPORT_VER + os.path.abspath(sf_dir)).encode()
+            (
+                _EXPORT_VER
+                + os.path.abspath(sf_dir)
+                + "|"
+                + _input_fingerprint(src)
+            ).encode()
         ).hexdigest()[:12],
     )
 
 
+def _publish_export(prefix: str, sf_dir: str, write_fn) -> str:
+    """Write-once export publication, safe under concurrent processes
+    (bench + oracle check interleave): write into a private
+    ``<cache>.tmp.<pid>`` dir, then ``os.rename`` to the final path —
+    readers only ever see a COMPLETE export (the build_pages_table
+    tmp+rename pattern). A loser of the rename race discards its tmp
+    dir and uses the winner's."""
+    import shutil
+
+    cache = _export_cache_dir(prefix, sf_dir)
+    if os.path.isdir(cache):
+        return cache
+    tmp = f"{cache}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    write_fn(tmp)
+    try:
+        os.rename(tmp, cache)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return cache
+
+
 def _ensure_jsonl_export(sf_dir: str) -> str:
-    """Write the projected events JSONL export once per (sf, version);
-    the export itself is the only work — no aggregate runs here."""
+    """Write the projected events JSONL export once per (sf, version,
+    input fingerprint); the export itself is the only work — no
+    aggregate runs here."""
     import ray.data
 
-    cache = _export_cache_dir("/tmp/graft_jsonl_cache", sf_dir)
-    if not (os.path.isdir(cache) and os.listdir(cache)):
-        os.makedirs(cache, exist_ok=True)
+    def write(tmp: str) -> None:
         ray.data.read_parquet(
             _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
-        ).write_json(cache)
-    return cache
+        ).write_json(tmp)
+
+    return _publish_export("/tmp/graft_jsonl_cache", sf_dir, write)
 
 
 def _ensure_csv_export(sf_dir: str) -> str:
@@ -822,9 +857,7 @@ def _ensure_csv_export(sf_dir: str) -> str:
     (CSV float printing is writer-dependent, integers are not)."""
     import ray.data
 
-    cache = _export_cache_dir("/tmp/graft_csv_cache", sf_dir)
-    if not (os.path.isdir(cache) and os.listdir(cache)):
-        os.makedirs(cache, exist_ok=True)
+    def write(tmp: str) -> None:
         ray.data.read_parquet(
             _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
         ).map_batches(
@@ -836,8 +869,9 @@ def _ensure_csv_export(sf_dir: str) -> str:
                 }
             ),
             batch_format="pyarrow",
-        ).write_csv(cache)
-    return cache
+        ).write_csv(tmp)
+
+    return _publish_export("/tmp/graft_csv_cache", sf_dir, write)
 
 
 def events_jsonl_agg(sf_dir: str):

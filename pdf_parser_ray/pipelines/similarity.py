@@ -23,6 +23,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .extract_pipeline import default_concurrency
+
 DUP_OFFSET = 10_000_000
 # embeddings dimension is inferred from the data (64 in the testdata)
 
@@ -372,7 +374,7 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.999):
     return base.map_batches(
         PairFinder,
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=default_concurrency(),
         fn_constructor_args=(ref, threshold),
     )
 
@@ -488,7 +490,7 @@ def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int 
         base.map_batches(
             HyperplaneBucketizer,
             batch_format="pyarrow",
-            concurrency=(1, 4),
+            concurrency=default_concurrency(),
             fn_constructor_args=(n_tables, n_bits, seed),
         )
         .groupby("shuffle_bucket")

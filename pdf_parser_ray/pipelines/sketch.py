@@ -47,6 +47,10 @@ def _kmv_row(lang: str, hashes: np.ndarray, k: int) -> dict:
     kth = int(kept[-1]) if n_kept else 0
     if n_kept < k:
         est = n_kept
+    elif kth == 0:
+        # k=1 (or a pathological hash set whose kth minimum is 0):
+        # the estimator divides by kth — saturate instead of raising
+        est = _I64_MAX
     else:
         est = min((k - 1) * _2_64 // kth, _I64_MAX)
     return {

@@ -15,6 +15,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import fnv1a64, shingle_hashes, simhash64
+from .extract_pipeline import default_concurrency
 
 TOKEN_RE = r"[A-Za-z0-9]+"
 STOPWORDS = ("the", "and", "of", "a", "to", "in")
@@ -144,11 +145,11 @@ def lang_id(sf_dir: str):
     ds = ray.data.read_parquet(
         documents_path(sf_dir), columns=["doc_id", "text", "lang"]
     )
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=default_concurrency())
 
 
 def fingerprints(sf_dir: str):
     import ray.data
 
     ds = ray.data.read_parquet(documents_path(sf_dir), columns=["doc_id", "text"])
-    return ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=default_concurrency())

@@ -35,6 +35,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .extract_pipeline import default_concurrency
+
 TOKEN_RE = r"[A-Za-z0-9]+"
 # Kept RE2-compatible on purpose: no backrefs/lookaround, so the DuckDB
 # oracle's regexp_replace/extract_all sees identical match sets.
@@ -92,11 +94,19 @@ class PiiRedactor:
         )
 
 
-def pii_redact(sf_dir: str):
+def pii_redact(sf_dir: str, concurrency=None):
+    """Pool sizing follows the extract stage's cluster-sized default
+    (``extract_pipeline.default_concurrency``) — a fixed (1, 4) cap
+    would starve a fleet; callers with tiny oracle inputs can still
+    pass an explicit override."""
     import ray.data
 
+    if concurrency is None:
+        concurrency = default_concurrency()
     ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
-    return ds.map_batches(PiiRedactor, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(
+        PiiRedactor, batch_format="pandas", concurrency=concurrency
+    )
 
 
 # -- Gopher repetition signals ----------------------------------------------
@@ -137,7 +147,7 @@ def gopher_repetition(sf_dir: str):
     import ray.data
 
     ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
-    return ds.map_batches(RepetitionStats, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(RepetitionStats, batch_format="pyarrow", concurrency=default_concurrency())
 
 
 # -- URL domain stats -------------------------------------------------------

@@ -273,6 +273,38 @@ def test_gif_animation_roundtrip():
     assert len(decode_gif_frames(gif, max_frames=2)[3]) == 2
 
 
+def test_gif_frame_dims_mismatch_rejected():
+    import pytest
+
+    from pdf_parser_ray.pdfcore.gif import (
+        GifError,
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    pal = bytes(bytearray(v for i in range(256) for v in (i, i, i)))
+    g1 = encode_gif(bytes(range(64)), 8, 8, pal)
+    g2 = encode_gif(bytes(16), 4, 4, pal)
+    # splice g2's image block (header 13 B + 768 B global palette)
+    # after g1's, replacing g1's trailer: a second frame with
+    # different dims must raise, not silently emit a short frame
+    assert g2[13 + 768] == 0x2C
+    spliced = g1[:-1] + g2[13 + 768 :]
+    with pytest.raises(GifError, match="first frame"):
+        decode_gif_frames(spliced)
+
+
+def test_kmv_kth_zero_saturates():
+    import numpy as np
+
+    from pdf_parser_ray.pipelines.sketch import _I64_MAX, _kmv_row
+
+    # k=1 with hash 0 as the kth minimum: estimator denominator is 0 —
+    # must saturate, not raise ZeroDivisionError
+    r = _kmv_row("en", np.array([0], dtype=np.uint64), 1)
+    assert r["est_distinct"] == _I64_MAX
+
+
 def test_gif_frame_sampler_hand_case(ray_session, tmp_path):
     import pyarrow as pa
 
