@@ -1509,35 +1509,64 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1
         """,
-        # the WAV payload is deterministic, so the oracle restates the
-        # whole encode->decode roundtrip in closed form: interleaved
-        # sample t of doc d is ((d*31 + t*17) % 65536) - 32768
+        # both audio payload families are deterministic, so the oracle
+        # restates the whole encode->decode roundtrip in closed form:
+        # WAV rows (doc_id % 4 <> 3): interleaved sample t of doc d is
+        # ((d*31 + t*17) % 65536) - 32768; MP3 rows (doc_id % 4 = 3):
+        # nf frames of 1152 samples, frame length 144*br*1000//rate
+        # (+1 padding byte on odd frames -> nf//2 extra bytes total)
         "audio_meta": """
-            WITH d AS (
+            WITH wav AS (
               SELECT doc_id,
                      8000 + (doc_id % 3) * 4000 AS rate,
                      1 + doc_id % 2 AS ch,
                      64 + doc_id % 64 AS nf
-              FROM documents
+              FROM documents WHERE doc_id % 4 <> 3
             ),
             s AS (
               SELECT doc_id, rate, ch, nf,
                      unnest(generate_series(0, nf * ch - 1)) AS t
-              FROM d
+              FROM wav
             ),
             v AS (
               SELECT doc_id, rate, ch, nf,
                      ((doc_id * 31 + t * 17) % 65536) - 32768 AS val
               FROM s
+            ),
+            wav_rows AS (
+              SELECT doc_id,
+                     CAST(rate AS BIGINT) AS sample_rate,
+                     CAST(ch AS BIGINT) AS n_channels,
+                     CAST(nf AS BIGINT) AS n_frames,
+                     CAST(nf * 1000 // rate AS BIGINT) AS duration_ms,
+                     CAST(SUM(ABS(val)) AS BIGINT) AS sum_abs
+              FROM v
+              GROUP BY 1, 2, 3, 4, 5
+            ),
+            mp3 AS (
+              SELECT doc_id,
+                     CASE doc_id % 3 WHEN 0 THEN 44100
+                                     WHEN 1 THEN 48000
+                                     ELSE 32000 END AS rate,
+                     1 + doc_id % 2 AS ch,
+                     16 + doc_id % 32 AS nf,
+                     CASE (doc_id // 3) % 4 WHEN 0 THEN 96
+                                            WHEN 1 THEN 128
+                                            WHEN 2 THEN 160
+                                            ELSE 192 END AS br
+              FROM documents WHERE doc_id % 4 = 3
+            ),
+            mp3_rows AS (
+              SELECT doc_id,
+                     CAST(rate AS BIGINT) AS sample_rate,
+                     CAST(ch AS BIGINT) AS n_channels,
+                     CAST(nf AS BIGINT) AS n_frames,
+                     CAST(nf * 1152 * 1000 // rate AS BIGINT) AS duration_ms,
+                     CAST(nf * (144 * br * 1000 // rate) + nf // 2
+                          AS BIGINT) AS sum_abs
+              FROM mp3
             )
-            SELECT doc_id,
-                   CAST(rate AS BIGINT) AS sample_rate,
-                   CAST(ch AS BIGINT) AS n_channels,
-                   CAST(nf AS BIGINT) AS n_frames,
-                   CAST(nf * 1000 // rate AS BIGINT) AS duration_ms,
-                   CAST(SUM(ABS(val)) AS BIGINT) AS sum_abs
-            FROM v
-            GROUP BY 1, 2, 3, 4, 5
+            SELECT * FROM wav_rows UNION ALL SELECT * FROM mp3_rows
         """,
         # exact-substring span removal: dup 8-gram sites merged into
         # maximal spans via gaps-and-islands windows

@@ -76,86 +76,129 @@ def boilerplate_dedup_pipeline(sf_dir: str, min_docs: int = 3):
     dedup, because near-identical pages differ only in their chrome):
 
         docs (+ per-doc footer/banner chrome lines)
-          -> distinct line-hash shuffle -> native Count  # boilerplate df
-          -> broadcast boilerplate set -> per-doc strip  # cleaning
-          -> cleaned-text 128-bit key, coarse-bucket     # exact dedup
+          -> line-occurrence hash shuffle               # boilerplate df
+             (in-group nunique(doc_id) >= min_docs)
+          -> co-shuffled strip by doc bucket            # cleaning
+             (boilerplate SITES ride as int pairs; text
+              rides ONE doc-bucket exchange, once per doc)
+          -> cleaned-text 128-bit key, coarse-bucket    # exact dedup
              co-group: min(doc_id) + group size per key
-          -> (doc_id, is_canonical, dup_group_size)      # never empty
+          -> (doc_id, is_canonical, dup_group_size)     # never empty
 
-    Two docs whose raw pages differ (different footer/banner ids) can
-    become exact duplicates after cleaning — the composite asserts the
-    whole chain, restated end to end in SQL (lines rebuilt with ||,
-    boilerplate df via COUNT(DISTINCT doc_id), cleaned text via
-    ordered string_agg, dedup via GROUP BY cleaned text). Shuffles
-    carry only 16-24 B hash rows; text never rides an exchange."""
+    Fully distributed: the former driver-side boilerplate frozenset
+    broadcast grew with the corpus (at CC scale the set of lines in
+    >= min_docs docs is every footer/nav variant); the semi-join shape
+    here is dedup._cogroup_pair_payloads', with (doc_id, line_idx)
+    sites instead of candidate pairs. Two docs whose raw pages differ
+    (different footer/banner ids) can become exact duplicates after
+    cleaning — the composite asserts the whole chain, restated end to
+    end in SQL (lines rebuilt with ||, boilerplate df via
+    COUNT(DISTINCT doc_id), cleaned text via ordered string_agg, dedup
+    via GROUP BY cleaned text)."""
     import os
 
     import numpy as np
     import pandas as pd
-    import ray
     import ray.data
-    from ray.data.aggregate import Count
 
-    n_buckets = 256
+    from .dedup import coarse_buckets
+
+    n_buckets = coarse_buckets(floor=256)  # content-key dedup buckets
+    n_hash_buckets = coarse_buckets()
+    n_doc_buckets = coarse_buckets()
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
-    def doc_lines(t: pa.Table) -> list[tuple[int, list[str]]]:
-        return [
-            (i, [s, f"footer {i % 7}", f"banner {i % 3}"])
-            for s, i in zip(t["text"].to_pylist(), t["doc_id"].to_pylist())
-        ]
+    def _lines_for(doc_id: int, text: str) -> list[str]:
+        return [text, f"footer {doc_id % 7}", f"banner {doc_id % 3}"]
 
-    def distinct_line_hashes(batch: pa.Table) -> pa.Table:
-        ids, lines = [], []
-        for doc_id, ls in doc_lines(batch):
-            uniq = set(ls)
-            ids.extend([doc_id] * len(uniq))
-            lines.extend(uniq)
+    def line_occurrences(batch: pa.Table) -> pa.Table:
+        ids, idxs, lines = [], [], []
+        for doc_id, s in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ls = _lines_for(doc_id, s)
+            ids.extend([doc_id] * len(ls))
+            idxs.extend(range(len(ls)))
+            lines.extend(ls)
         h1, h2 = blake2b128_of_strings(pa.array(lines, pa.string()))
         return pa.table(
             {
+                "hb": pa.array((h1 % n_hash_buckets).astype(np.int64)),
                 "h1": pa.array(h1, pa.int64()),
                 "h2": pa.array(h2, pa.int64()),
                 "doc_id": pa.array(ids, pa.int64()),
+                "line_idx": pa.array(idxs, pa.int64()),
             }
         )
 
-    boiler_rows = (
-        ds.map_batches(distinct_line_hashes, batch_format="pyarrow")
-        .groupby(["h1", "h2"])
-        .aggregate(Count(alias_name="n_docs"))
-        .map_batches(
-            lambda t: t.filter(
-                pc.greater_equal(t["n_docs"], pa.scalar(min_docs, pa.int64()))
-            ).select(["h1", "h2"]),
-            batch_format="pyarrow",
-        )
-        .take_all()  # boilerplate set: df-bounded, not corpus-sized
-    )
-    boiler_ref = ray.put(frozenset((r["h1"], r["h2"]) for r in boiler_rows))
-
-    def clean_and_key(batch: pa.Table) -> pa.Table:
-        boiler = ray.get(boiler_ref)
-        ids, cleaned = [], []
-        for doc_id, ls in doc_lines(batch):
-            h1, h2 = blake2b128_of_strings(pa.array(ls, pa.string()))
-            kept = [
-                l
-                for l, a, b in zip(ls, h1, h2)
-                if (int(a), int(b)) not in boiler
-            ]
-            ids.append(doc_id)
-            cleaned.append("\n".join(kept))
-        c1, c2 = blake2b128_of_strings(pa.array(cleaned, pa.string()))
-        bucket = (c1 % n_buckets).astype(np.int64)
-        return pa.table(
+    def boiler_sites(g: pd.DataFrame) -> pd.DataFrame:
+        df_per_line = g.groupby(["h1", "h2"])["doc_id"].transform("nunique")
+        hit = g[df_per_line >= min_docs].reset_index(drop=True)
+        return pd.DataFrame(
             {
-                "bucket": pa.array(bucket),
-                "c1": pa.array(c1, pa.int64()),
-                "c2": pa.array(c2, pa.int64()),
-                "doc_id": pa.array(ids, pa.int64()),
+                "doc_id": hit["doc_id"].astype("int64"),
+                "line_idx": hit["line_idx"].astype("int64"),
+            }
+        )
+
+    sites = (
+        ds.map_batches(line_occurrences, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(boiler_sites, batch_format="pandas")
+    )
+
+    def site_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "db": (df["doc_id"] % n_doc_buckets).astype("int64"),
+                "doc_id": df["doc_id"].astype("int64"),
+                "line_idx": df["line_idx"].astype("int64"),
+                "text": pd.Series([None] * len(df), dtype="object"),
+            }
+        )
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "db": (df["doc_id"] % n_doc_buckets).astype("int64"),
+                "doc_id": df["doc_id"].astype("int64"),
+                "line_idx": np.full(len(df), -1, dtype=np.int64),
+                "text": df["text"].astype("object"),
+            }
+        )
+
+    unioned = ds.map_batches(doc_rows, batch_format="pandas").union(
+        sites.map_batches(site_rows, batch_format="pandas")
+    )
+
+    def clean_and_key(g: pd.DataFrame) -> pd.DataFrame:
+        smask = g["line_idx"] >= 0
+        removed: dict[int, set[int]] = {}
+        for d, i in zip(
+            g.loc[smask, "doc_id"].astype(int),
+            g.loc[smask, "line_idx"].astype(int),
+        ):
+            removed.setdefault(d, set()).add(i)
+        docs = g[~smask]
+        ids, cleaned = [], []
+        for doc_id, s in zip(docs["doc_id"].astype(int), docs["text"]):
+            ls = _lines_for(doc_id, s)
+            gone = removed.get(doc_id, ())
+            ids.append(doc_id)
+            cleaned.append(
+                "\n".join(l for i, l in enumerate(ls) if i not in gone)
+            )
+        c1, c2 = blake2b128_of_strings(pa.array(cleaned, pa.string()))
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series((c1 % n_buckets).astype(np.int64)),
+                "c1": pd.Series(c1, dtype="int64"),
+                "c2": pd.Series(c2, dtype="int64"),
+                "doc_id": pd.Series(ids, dtype="int64"),
             }
         )
 
@@ -170,8 +213,13 @@ def boilerplate_dedup_pipeline(sf_dir: str, min_docs: int = 3):
             }
         )
 
+    keyed = unioned.groupby("db").map_groups(
+        clean_and_key, batch_format="pandas"
+    )
     return (
-        ds.map_batches(clean_and_key, batch_format="pyarrow")
+        # arrow-identity hop between the pandas map_groups and the next
+        # groupby: aggregating pandas blocks directly costs ~2x the plan
+        keyed.map_batches(lambda t: t, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(dedup_group, batch_format="pandas")
         .map_batches(

@@ -28,6 +28,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import (
     MinHasher,
@@ -228,6 +229,8 @@ def streaming_exact_dedup(sf_dir: str, n_shards: int = 8):
 # -- MinHash + LSH --
 
 
+# floor for the coarse shuffle key; plans size the actual count from
+# cluster CPUs via coarse_buckets() at build time
 N_SHUFFLE_BUCKETS = 64
 
 
@@ -235,13 +238,16 @@ class MinHashStage:
     """doc -> (bucket, band_key, doc_id) rows; hasher warm per actor.
 
     ``bucket`` coarsens the shuffle key: the downstream groupby
-    co-locates ~(bands x docs / 64) rows per group and pair generation
-    does a LOCAL pandas groupby per band inside each group — thousands
-    of tiny distributed groups collapse into 64, which removes Ray's
-    per-group dispatch overhead while producing identical pairs.
+    co-locates ~(bands x docs / n_shuffle) rows per group and pair
+    generation does a LOCAL pandas groupby per band inside each group —
+    thousands of tiny distributed groups collapse into ~2/CPU, which
+    removes Ray's per-group dispatch overhead while producing identical
+    pairs. ``n_shuffle`` is resolved from cluster size at plan-build
+    time (coarse_buckets) so reducer parallelism scales with the fleet.
     """
 
-    def __init__(self):
+    def __init__(self, n_shuffle: int = N_SHUFFLE_BUCKETS):
+        self.n_shuffle = n_shuffle
         self.word = re.compile(TOKEN_RE)
         self.hasher = MinHasher(k=64, bands=16)
         self.th = TokenHasher()
@@ -267,7 +273,7 @@ class MinHashStage:
         return pa.table(
             {
                 "bucket": pa.array(
-                    (flat.view(np.uint64) % np.uint64(N_SHUFFLE_BUCKETS)).astype(
+                    (flat.view(np.uint64) % np.uint64(self.n_shuffle)).astype(
                         np.int32
                     ),
                     type=pa.int32(),
@@ -281,9 +287,11 @@ class MinHashStage:
 # Pair generation inside one band is O(members^2): a degenerate band
 # (boilerplate/near-empty docs all hashing to one key) would otherwise
 # explode quadratically — the classic LSH skew failure at corpus scale.
-# Bands over the cap are SKIPPED (the standard production guard: such
-# bands are boilerplate, and every true near-dup pair still has ~15
-# other bands to surface through) and the drop is logged.
+# Bands over the cap degrade to STAR SAMPLING (each member paired with
+# the band's min id, O(n) pairs) so candidate recall never silently
+# drops to zero for docs whose every band is degenerate; the exact
+# verify stage discards the star's false positives. The degradation is
+# logged with band/doc counts.
 MAX_BAND_MEMBERS = 256
 
 
@@ -292,8 +300,8 @@ def _log_band_drops(label: str, dropped_bands: int, dropped_docs: int):
         import logging
 
         logging.getLogger(__name__).warning(
-            "%s: skipped %d degenerate band(s) with > %d members "
-            "(%d member rows dropped)",
+            "%s: %d degenerate band(s) with > %d members degraded to "
+            "star sampling (%d member rows affected)",
             label,
             dropped_bands,
             MAX_BAND_MEMBERS,
@@ -303,21 +311,29 @@ def _log_band_drops(label: str, dropped_bands: int, dropped_docs: int):
 
 def _bucket_candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
     """All within-band pairs for every band in one shuffle bucket,
-    with the degenerate-band cap."""
+    with the degenerate-band cap: an over-cap band degrades to STAR
+    SAMPLING (every member paired with the band's min id — O(n) pairs)
+    instead of being dropped wholesale, so a true near-dup pair whose
+    every band is degenerate still surfaces through the hub doc (and
+    the downstream exact verify discards the false positives). The
+    degradation is logged with counts."""
     a_out: list[int] = []
     b_out: list[int] = []
-    dropped_bands = dropped_docs = 0
+    capped_bands = capped_docs = 0
     for _, band in g.groupby("band_key"):
         ids = sorted(set(band["doc_id"].tolist()))
         if len(ids) > MAX_BAND_MEMBERS:
-            dropped_bands += 1
-            dropped_docs += len(ids)
+            capped_bands += 1
+            capped_docs += len(ids)
+            hub = ids[0]
+            a_out.extend([hub] * (len(ids) - 1))
+            b_out.extend(ids[1:])
             continue
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 a_out.append(ids[i])
                 b_out.append(ids[j])
-    _log_band_drops("minhash-lsh", dropped_bands, dropped_docs)
+    _log_band_drops("minhash-lsh", capped_bands, capped_docs)
     return pd.DataFrame({"a": a_out, "b": b_out}).drop_duplicates()
 
 
@@ -329,7 +345,7 @@ def _mod_bucket(col, n: int):
     return pc.subtract(col, pc.multiply(pc.divide(col, nn), nn))
 
 
-def _cogroup_pair_payloads(uniq_pairs, corpus_payloads, n_buckets: int = 64):
+def _cogroup_pair_payloads(uniq_pairs, corpus_payloads, n_buckets: int | None = None):
     """Distributed reduce-side semi-join co-locating each candidate
     pair with BOTH payloads, without per-pair payload amplification.
 
@@ -344,6 +360,7 @@ def _cogroup_pair_payloads(uniq_pairs, corpus_payloads, n_buckets: int = 64):
     Stage 2 (the caller) groups by pair_bucket: each group sees every
     pair next to the payloads it needs. Nothing materializes on the
     driver."""
+    n_buckets = coarse_buckets(n_buckets)
 
     def explode(t: pa.Table) -> pa.Table:
         a = t["a"].combine_chunks()
@@ -377,49 +394,85 @@ def _cogroup_pair_payloads(uniq_pairs, corpus_payloads, n_buckets: int = 64):
         corpus_rows, batch_format="pyarrow"
     ).union(uniq_pairs.map_batches(explode, batch_format="pyarrow"))
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        cmask = g["a"].isna()
-        payloads = dict(
-            zip(g.loc[cmask, "doc_id"].astype(int), g.loc[cmask, "payload"])
+    def attach(t: pa.Table) -> pa.Table:
+        # pyarrow group batch: the payload column passes through as a
+        # zero-copy Arrow take — no bytes -> object -> bytes round-trip
+        # for the largest column in the plan (was pandas in r2/r3)
+        cmask = pc.is_null(t["a"])
+        tc = t.filter(cmask)  # corpus rows: (doc_id, payload)
+        pr = t.filter(pc.invert(cmask))  # pair side rows
+        trip = np.stack(
+            [
+                pr["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                pr["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+                pr["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ],
+            axis=1,
         )
         # candidate dedup happens HERE, locally: a pair surfacing from
         # several bands sends all its (a,b,doc_id) side copies to the
-        # same doc bucket, so drop_duplicates inside the group replaces
-        # a whole extra all-to-all aggregate over the candidate set
-        # (measured ~35s of remote wall at sf0.1 — the most expensive
-        # operator in the r2 plan)
-        pr = g[~cmask].drop_duplicates(subset=["a", "b", "doc_id"])
-        side_a = pr["a"].astype("int64").to_numpy()
-        side_b = pr["b"].astype("int64").to_numpy()
-        side_doc = pr["doc_id"].astype("int64").to_numpy()
+        # same doc bucket, so the local unique replaces a whole extra
+        # all-to-all aggregate over the candidate set (measured ~35s of
+        # remote wall at sf0.1 — the most expensive op in the r2 plan)
+        trip = np.unique(trip, axis=0) if len(trip) else trip.reshape(0, 3)
+        side_a, side_b, side_doc = trip[:, 0], trip[:, 1], trip[:, 2]
         pair_bucket = (side_a * 1_000_003 + side_b) % n_buckets
         # pair rows: from the a-side only -> exactly once per pair
         amask = side_doc == side_a
         # payload rows: once per DISTINCT (doc, pair_bucket)
-        seen = pd.DataFrame(
-            {"doc_id": side_doc, "pair_bucket": pair_bucket}
-        ).drop_duplicates()
-        n_pairs, n_pay = int(amask.sum()), len(seen)
-        return pd.DataFrame(
+        dp = (
+            np.unique(np.stack([side_doc, pair_bucket], axis=1), axis=0)
+            if len(trip)
+            else np.empty((0, 2), dtype=np.int64)
+        )
+        cdoc = tc["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(cdoc):
+            order = np.argsort(cdoc, kind="stable")
+            ins = np.clip(
+                np.searchsorted(cdoc, dp[:, 0], sorter=order), 0, len(cdoc) - 1
+            )
+            # defensive: drop sites whose doc has no payload row here
+            # (the verify stage also guards) vs mis-taking a neighbor
+            ok = cdoc[order[ins]] == dp[:, 0]
+            dp = dp[ok]
+            pos = order[ins[ok]]
+        else:
+            dp = dp[:0]
+            pos = np.empty(0, dtype=np.int64)
+        pay = tc["payload"].combine_chunks().take(
+            pa.array(pos, pa.int64())
+        )
+        n_pairs, n_pay = int(amask.sum()), len(dp)
+        return pa.table(
             {
-                "pair_bucket": np.concatenate(
-                    [pair_bucket[amask], seen["pair_bucket"].to_numpy()]
+                "pair_bucket": pa.array(
+                    np.concatenate([pair_bucket[amask], dp[:, 1]]), pa.int64()
                 ),
-                "a": np.concatenate(
-                    [side_a[amask], np.full(n_pay, -1, dtype=np.int64)]
+                "a": pa.array(
+                    np.concatenate(
+                        [side_a[amask], np.full(n_pay, -1, dtype=np.int64)]
+                    ),
+                    pa.int64(),
                 ),
-                "b": np.concatenate(
-                    [side_b[amask], np.full(n_pay, -1, dtype=np.int64)]
+                "b": pa.array(
+                    np.concatenate(
+                        [side_b[amask], np.full(n_pay, -1, dtype=np.int64)]
+                    ),
+                    pa.int64(),
                 ),
-                "doc_id": np.concatenate(
-                    [np.full(n_pairs, -1, dtype=np.int64), seen["doc_id"].to_numpy()]
+                "doc_id": pa.array(
+                    np.concatenate(
+                        [np.full(n_pairs, -1, dtype=np.int64), dp[:, 0]]
+                    ),
+                    pa.int64(),
                 ),
-                "payload": [None] * n_pairs
-                + [payloads[int(d)] for d in seen["doc_id"]],
+                "payload": pa.concat_arrays(
+                    [pa.nulls(n_pairs, pay.type), pay]
+                ),
             }
         )
 
-    return unioned.groupby("bucket").map_groups(attach, batch_format="pandas")
+    return unioned.groupby("bucket").map_groups(attach, batch_format="pyarrow")
 
 
 def _verify_pairs(sided, check_fn):
@@ -427,28 +480,32 @@ def _verify_pairs(sided, check_fn):
     the local doc_id -> payload dict once and run ``check_fn(a_payload,
     b_payload) -> bool`` over the group's pair rows."""
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        pmask = g["doc_id"] >= 0
+    def verify(t: pa.Table) -> pa.Table:
+        # pyarrow group batch: only the payloads actually checked are
+        # materialized as bytes (check_fn needs them); the int columns
+        # never round-trip through pandas object machinery
+        pmask = pc.greater_equal(t["doc_id"], pa.scalar(0, pa.int64()))
+        tp = t.filter(pmask)
         payloads = dict(
-            zip(g.loc[pmask, "doc_id"].astype(int), g.loc[pmask, "payload"])
+            zip(tp["doc_id"].to_pylist(), tp["payload"].to_pylist())
         )
+        pr = t.filter(pc.invert(pmask))
         out_a, out_b = [], []
-        pr = g[~pmask]
-        for a, b in zip(pr["a"].astype(int), pr["b"].astype(int)):
+        for a, b in zip(pr["a"].to_pylist(), pr["b"].to_pylist()):
             pa_, pb_ = payloads.get(a), payloads.get(b)
             if pa_ is None or pb_ is None:
                 continue  # defensive: a pair without both payloads
             if check_fn(a, pa_, b, pb_):
                 out_a.append(a)
                 out_b.append(b)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "a": np.array(out_a, dtype=np.int64),
-                "b": np.array(out_b, dtype=np.int64),
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
             }
         )
 
-    return sided.groupby("pair_bucket").map_groups(verify, batch_format="pandas")
+    return sided.groupby("pair_bucket").map_groups(verify, batch_format="pyarrow")
 
 
 def _join_partitions(requested: int | None = None) -> int:
@@ -464,7 +521,21 @@ def _join_partitions(requested: int | None = None) -> int:
     return min(requested, cap) if requested else cap
 
 
-def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5, n_buckets: int = 64):
+def coarse_buckets(requested: int | None = None, per_cpu: int = 2, floor: int = 64) -> int:
+    """Coarse shuffle-bucket count sized to the cluster (``per_cpu``
+    groups per CPU so every reducer core stays busy, never below
+    ``floor`` so a skewed group stays bounded on tiny clusters). A
+    fixed 64 would cap reducer parallelism at 64 on any fleet; this is
+    the groupby-side analog of ``_join_partitions``."""
+    if requested:
+        return requested
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(floor, per_cpu * cpus)
+
+
+def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5, n_buckets: int | None = None):
     """Verified near-dup pairs (a < b) over the dup corpus.
 
     Fully distributed shape (no driver-side corpus materialization
@@ -483,7 +554,10 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5, n_buckets: int = 64):
     exceeds aggregate object-store + spill capacity."""
     corpus = dup_corpus(sf_dir).materialize()
     banded = corpus.map_batches(
-        MinHashStage, batch_format="pyarrow", concurrency=(1, 8)
+        MinHashStage,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_args=(coarse_buckets(),),
     )
     # a pair can surface from bands in different shuffle buckets; its
     # global dedup is FREE downstream (all copies co-locate in the
@@ -736,6 +810,7 @@ def simhash_fingerprints(sf_dir: str, max_hamming: int = 6):
     import ray.data
 
     ds = dup_corpus(sf_dir)
+    n_shuffle = coarse_buckets()  # resolved driver-side, closed over
 
     class SimHashStage:
         def __init__(self):
@@ -756,7 +831,7 @@ def simhash_fingerprints(sf_dir: str, max_hamming: int = 6):
                     key = band * 65536 + chunk
                     ids.append(doc_id)
                     bands.append(key)
-                    buckets.append(key % N_SHUFFLE_BUCKETS)
+                    buckets.append(key % n_shuffle)
                     sims.append(sh - (1 << 63))
             return pa.table(
                 {
@@ -771,12 +846,23 @@ def simhash_fingerprints(sf_dir: str, max_hamming: int = 6):
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out = [], []
-        dropped_bands = dropped_docs = 0
+        capped_bands = capped_docs = 0
         for _, band in g.groupby("band"):
             rows = sorted(set(zip(band["doc_id"].tolist(), band["simhash"].tolist())))
             if len(rows) > MAX_BAND_MEMBERS:
-                dropped_bands += 1
-                dropped_docs += len(rows)
+                # degenerate band: star-sample against the min-id hub
+                # (hamming check still applies — exactness preserved,
+                # only recall within the band is reduced)
+                capped_bands += 1
+                capped_docs += len(rows)
+                hub = rows[0]
+                for r in rows[1:]:
+                    if (
+                        hamming64(hub[1] + (1 << 63), r[1] + (1 << 63))
+                        <= max_hamming
+                    ):
+                        a_out.append(hub[0])
+                        b_out.append(r[0])
                 continue
             for i in range(len(rows)):
                 for j in range(i + 1, len(rows)):
@@ -788,7 +874,7 @@ def simhash_fingerprints(sf_dir: str, max_hamming: int = 6):
                     ):
                         a_out.append(rows[i][0])
                         b_out.append(rows[j][0])
-        _log_band_drops("simhash", dropped_bands, dropped_docs)
+        _log_band_drops("simhash", capped_bands, capped_docs)
         return pd.DataFrame({"a": a_out, "b": b_out}).drop_duplicates()
 
     from ray.data.aggregate import Count

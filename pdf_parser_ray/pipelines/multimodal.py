@@ -3,11 +3,9 @@
 Images/audio/video are opaque ``binary`` columns with typed metadata.
 The Ray-side plumbing — schema, batch sizing, actor signature, output
 layout — is real, and so are the codecs for JPEG, PNG, GIF (incl.
-animation frames) and WAV PCM (the engine's own spec-derived
-implementations in pdfcore/ — no media libraries exist in this
-container). ``decode_stub`` keeps a deterministic stub ONLY for
-audio/mpeg, where a real deployment swaps ffmpeg into the same actor
-signature.
+animation frames), WAV PCM and MPEG audio metadata (the engine's own
+spec-derived implementations in pdfcore/ — no media libraries exist in
+this container; the mp3 arm parses frame headers, not samples).
 
 Batch sizing: binary payload stages use small ``batch_size`` so
 ``batch_size x concurrency x payload`` fits a worker heap (SURVEY.md §4).
@@ -43,14 +41,13 @@ def detect_mime(payload: bytes) -> str:
 
 
 def decode_stub(payload: bytes, mime: str) -> dict:
-    """Decoder step: REAL for image/jpeg, image/png, image/gif and
-    audio/wav (the engine's own codecs — pdfcore/jpeg.py, png.py,
-    gif.py, wav.py; no media libraries exist in this container); a
-    deterministic STUB only for audio/mpeg (an MP3 codec is out of
-    scope; a real deployment swaps ffmpeg into the same actor
-    signature — batching, schema and the error channel are already
-    production-shaped). Raises NotImplementedError (the stage's
-    "not decodable" channel) on other mimes or corrupt media data."""
+    """Decoder step: REAL for every mime this stage routes —
+    image/jpeg, image/png, image/gif, audio/wav and audio/mpeg (the
+    engine's own codecs — pdfcore/jpeg.py, png.py, gif.py, wav.py,
+    mp3.py; no media libraries exist in this container; the mp3 arm is
+    a frame-header metadata walk, not a sample decoder). Raises
+    NotImplementedError (the stage's "not decodable" channel) on other
+    mimes or corrupt media data."""
     if mime == "image/jpeg":
         from ..pdfcore.jpeg import JpegError, decode_jpeg
 
@@ -101,16 +98,21 @@ def decode_stub(payload: bytes, mime: str) -> dict:
             32768.0 * max(1, min(len(vals), 4096))
         )
         return {"width": n_frames, "height": ch, "mean": amp}
-    if not mime.startswith("audio/"):
-        raise NotImplementedError(f"no decoder for {mime}")
-    # audio/mpeg stays a deterministic stub: an MP3 codec is out of
-    # scope; a real deployment swaps ffmpeg into this same arm
-    digest = hashlib.sha256(payload).digest()
-    return {
-        "width": 1 + digest[0],
-        "height": 1 + digest[1],
-        "mean": digest[2] / 255.0,
-    }
+    if mime == "audio/mpeg":
+        from ..pdfcore.mp3 import Mp3Error, decode_mp3_meta
+
+        try:
+            meta = decode_mp3_meta(payload)
+        except Mp3Error as e:
+            raise NotImplementedError(f"mp3 decode failed: {e}") from e
+        # generic media-meta mapping: width=frames, height=channels,
+        # mean = duration as a fraction of a minute (capped)
+        return {
+            "width": meta["n_frames"],
+            "height": meta["channels"],
+            "mean": min(1.0, meta["duration_ms"] / 60000.0),
+        }
+    raise NotImplementedError(f"no decoder for {mime}")
 
 
 class MediaMeta:
@@ -300,26 +302,51 @@ def gif_frame_sample(sf_dir: str):
 
 
 class AudioMetaSampler:
-    """Audio-decode stage (actor pool): each doc carries a deterministic
-    RIFF/WAVE PCM payload (built by the engine's own encoder —
-    pdfcore/wav.py), which the stage DECODES with the engine's chunk-
-    walking parser and summarizes: sample rate, channel count, frame
-    count, integer duration and integer absolute-amplitude mass.
+    """Audio-decode stage (actor pool) over a MIXED audio column: docs
+    with ``doc_id % 4 == 3`` carry a deterministic MPEG-1 Layer III
+    stream (built + walked by the engine's own codec — pdfcore/mp3.py:
+    ID3v2 tag skip, per-frame header validation, padding-aware length
+    arithmetic), every other doc a RIFF/WAVE PCM payload
+    (pdfcore/wav.py), DECODED with the engine's parsers and
+    summarized: sample rate, channel count, frame count, integer
+    duration and an integer mass column (absolute-amplitude sum for
+    WAV; walked stream bytes for MP3, where samples aren't decoded).
 
-    Interleaved sample ``t`` of doc ``d`` is
-    ``((d*31 + t*17) % 65536) - 32768`` — closed-form, so the DuckDB
-    oracle restates the whole decode via generate_series. A wrong
-    encoder field, chunk walk, or sample unpack breaks the sums.
+    Both payload families are closed-form, so the DuckDB oracle
+    restates the full decode: WAV interleaved sample ``t`` of doc ``d``
+    is ``((d*31 + t*17) % 65536) - 32768`` (generate_series); the MP3
+    arm's frame length is ``144*br*1000//rate (+1 on odd frames)``
+    with nf frames of 1152 samples. A wrong encoder field, chunk/frame
+    walk, or length formula breaks the sums.
 
     Per-doc loop (a whole payload is the vectorization unit for
     codecs); no per-actor state needed but the class keeps the actor-
     pool signature of the other media stages."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.mp3 import decode_mp3_meta, encode_mp3
         from ..pdfcore.wav import decode_wav_samples, encode_wav
 
         ids, rates, chs, nfs, durs, sums = [], [], [], [], [], []
         for d in batch["doc_id"].to_pylist():
+            if d % 4 == 3:
+                rate = (44100, 48000, 32000)[d % 3]
+                ch = 1 + d % 2
+                nf = 16 + d % 32
+                br = (96, 128, 160, 192)[(d // 3) % 4]
+                meta = decode_mp3_meta(encode_mp3(nf, br, rate, ch, seed=d))
+                assert (
+                    meta["sample_rate"],
+                    meta["channels"],
+                    meta["n_frames"],
+                ) == (rate, ch, nf)
+                ids.append(d)
+                rates.append(meta["sample_rate"])
+                chs.append(meta["channels"])
+                nfs.append(meta["n_frames"])
+                durs.append(meta["duration_ms"])
+                sums.append(meta["stream_bytes"])
+                continue
             rate = 8000 + (d % 3) * 4000
             ch = 1 + d % 2
             n_frames = 64 + d % 64

@@ -387,12 +387,15 @@ class HyperplaneBucketizer:
     shuffle — vectors are re-fetched at verify time via a hash join,
     which removes the x n_tables float-payload amplification."""
 
-    SHUFFLE_BUCKETS = 64  # coarse shuffle key; local groupby per bucket
+    SHUFFLE_BUCKETS = 64  # floor; plans pass a cluster-sized count
 
-    def __init__(self, n_tables: int, n_bits: int, seed: int):
+    def __init__(
+        self, n_tables: int, n_bits: int, seed: int, shuffle_buckets: int | None = None
+    ):
         self.n_tables = n_tables
         self.n_bits = n_bits
         self.seed = seed
+        self.shuffle_buckets = shuffle_buckets or self.SHUFFLE_BUCKETS
         self.planes: np.ndarray | None = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -407,7 +410,7 @@ class HyperplaneBucketizer:
         for t in range(self.n_tables):
             keys = ((m @ self.planes[t].T) > 0) @ pow2
             full = (t * (1 << self.n_bits) + keys).astype(np.int64)
-            out_s.append(full % self.SHUFFLE_BUCKETS)
+            out_s.append(full % self.shuffle_buckets)
             out_b.append(full)
             out_id.append(ids)
         return pa.table(
@@ -455,7 +458,11 @@ def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int 
     passes."""
     import ray.data
 
-    from .dedup import _cogroup_pair_payloads, _verify_pairs
+    from .dedup import (
+        _cogroup_pair_payloads,
+        _verify_pairs,
+        coarse_buckets as _coarse_buckets,
+    )
 
     base = (
         ray.data.read_parquet(_p(sf_dir))
@@ -472,9 +479,13 @@ def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int 
             ids = np.unique(grp["vec_id"].to_numpy())
             if len(ids) > MAX_BAND_MEMBERS:
                 # degenerate LSH bucket (e.g. a mass of zero/identical
-                # vectors): skip, don't go quadratic — see dedup.py
+                # vectors): star-sample against the min id instead of
+                # going quadratic or dropping recall — see dedup.py
                 dropped_bands += 1
                 dropped_docs += len(ids)
+                hub = int(ids[0])
+                a_out.extend([hub] * (len(ids) - 1))
+                b_out.extend(int(x) for x in ids[1:])
                 continue
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
@@ -491,7 +502,7 @@ def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int 
             HyperplaneBucketizer,
             batch_format="pyarrow",
             concurrency=default_concurrency(),
-            fn_constructor_args=(n_tables, n_bits, seed),
+            fn_constructor_args=(n_tables, n_bits, seed, _coarse_buckets()),
         )
         .groupby("shuffle_bucket")
         .map_groups(pairs, batch_format="pandas")

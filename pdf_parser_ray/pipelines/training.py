@@ -670,10 +670,39 @@ def pack_sequences(
             }
         )
 
-    # token counts are 3 ints/doc — materialize so the two consumers
-    # (bucket sums, final assignment) don't re-read + re-tokenize text
-    tokds = ds.map_batches(tok, batch_format="pandas").materialize()
+    # token counts are 3 ints/doc; stage them to parquet so the two
+    # consumers (bucket sums, final assignment) don't re-read +
+    # re-tokenize text AND nothing corpus-sized pins the object store
+    # (a materialize() here held ~24 B/doc for the whole corpus —
+    # spillable, but disk staging bounds memory by construction)
+    tokds = _stage_counts(
+        ds.map_batches(tok, batch_format="pandas"), "pack_tok"
+    )
     return _pack_tokds(tokds, budget, fanout)
+
+
+def _stage_counts(ds, tag: str):
+    """Stage a fixed-width intermediate to /tmp parquet and re-read it:
+    the multi-consumer alternative to ``materialize()`` whose footprint
+    is disk, not object store (the hive-staging idea from
+    extract_pipeline.stage_pages, minus the unit grid). Empty datasets
+    write no files (Ray quirk) — fall back to materialize(), which is
+    free at size zero. Blocks come back as Arrow; downstream unions
+    convert to pandas where block-type mixing matters."""
+    import tempfile
+
+    import ray.data
+
+    d = tempfile.mkdtemp(prefix=f"graft_stage_{tag}_")
+    ds.write_parquet(d)
+    if not any(f.endswith(".parquet") for f in os.listdir(d)):
+        return ds.materialize()
+    # pandas-identity hop: _pack_tokds unions tokds with pandas-block
+    # offset rows, and mixing arrow/pandas block types breaks the
+    # sort-boundary sampler
+    return ray.data.read_parquet(d).map_batches(
+        lambda df: df, batch_format="pandas"
+    )
 
 
 def _pack_tokds(tokds, budget: int, fanout: int):
@@ -798,7 +827,9 @@ def training_mix_pipeline(
             }
         )
 
-    tokds = ds.map_batches(gate, batch_format="pandas").materialize()
+    tokds = _stage_counts(
+        ds.map_batches(gate, batch_format="pandas"), "mix_tok"
+    )
     return _pack_tokds(tokds, budget, fanout)
 
 
@@ -813,21 +844,36 @@ def rare_token_mass(sf_dir: str, threshold: int = 5):
     and integer counts keep the oracle bit-exact where a float log
     score would not be).
 
-    Scale shape: the membership side that gets broadcast is the
-    COMMON vocabulary (tf >= threshold), whose size is provably
-    <= total_tokens / threshold — bounded by construction, unlike the
-    rare side which grows with corpus size (hapax legomena). One
-    ``ray.put`` of that set; the corpus itself never shuffles:
-    n_rare(doc) = n_tokens(doc) - n_common(doc).
+    Scale shape — fully co-shuffled, nothing corpus-derived on the
+    driver (the former common-vocab broadcast was bounded by
+    total_tokens/threshold, which grows LINEARLY with corpus size at a
+    fixed threshold — 10^13 tokens / 5 is not driver-sized):
+
+    1. per doc emit (word, doc_id, count) partials keyed by a coarse
+       stable word-hash bucket — every occurrence row of a word lands
+       in one group, so corpus tf is computable IN-GROUP;
+    2. in-group (pandas): tf = transform-sum per word; rows of words
+       with tf < threshold reduce to per-doc rare-count partials
+       (doc_id, n_rare_part) — int pairs only from here on;
+    3. per-doc totals ride a second coarse exchange keyed by
+       ``doc_id % n_doc_buckets`` together with the rare partials
+       (the union-co-group shape of line_dedup/dedup), summing to
+       (doc_id, n_tokens, n_rare).
+
+    This is tfidf_top_terms' word-bucket shape with a doc-bucket
+    reduce bolted on; no membership set is ever materialized.
 
     The base corpus vocabulary is a small closed word pool, so the
     pipeline first injects two deterministic SQL-restatable tokens per
     doc (``tok<doc_id>`` — a hapax, ``mid<doc_id%50>`` — common) the
     same way pii_redact injects its spans."""
-    import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
+    from ..functions.hashing import fnv1a64_of_strings
+    from .dedup import coarse_buckets
+
+    n_word_buckets = 1024  # uniform under word hashing; ~|vocab|/1024 per group
+    n_doc_buckets = coarse_buckets()
     word_re = re.compile(TOKEN_RE)
 
     def inject(t: pa.Table) -> pa.Table:
@@ -846,56 +892,86 @@ def rare_token_mass(sf_dir: str, threshold: int = 5):
     ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
     injected = ds.map_batches(inject, batch_format="pyarrow")
 
-    def tf_partial(batch: pa.Table) -> pa.Table:
-        words, tfs = [], []
-        for t in batch["text"].to_pylist():
-            c = Counter(word_re.findall(t))
-            words.extend(c.keys())
-            tfs.extend(c.values())
-        return pa.table(
-            {
-                "word": pa.array(words, pa.string()),
-                "tf": pa.array(tfs, pa.int64()),
-            }
-        )
-
-    vocab = (
-        injected.map_batches(tf_partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("tf", alias_name="tf"))
-    )
-
-    def keep_common(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.greater_equal(t["tf"], pa.scalar(threshold, pa.int64()))
-        ).select(["word"])
-
-    common_rows = vocab.map_batches(
-        keep_common, batch_format="pyarrow"
-    ).take_all()  # bounded: <= total_tokens / threshold rows
-    common_ref = ray.put(frozenset(r["word"] for r in common_rows))
-
-    def score(batch: pa.Table) -> pa.Table:
-        common = ray.get(common_ref)
-        ids, n_toks, n_rare = [], [], []
+    def word_doc_counts(batch: pa.Table) -> pa.Table:
+        words, ids, cnts = [], [], []
         for doc_id, t in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
             c = Counter(word_re.findall(t))
-            n = sum(c.values())
-            n_common = sum(v for w, v in c.items() if w in common)
-            ids.append(doc_id)
-            n_toks.append(n)
-            n_rare.append(n - n_common)
+            words.extend(c.keys())
+            ids.extend([doc_id] * len(c))
+            cnts.extend(c.values())
+        wa = pa.array(words, pa.string())
+        wb = (fnv1a64_of_strings(wa) % n_word_buckets).astype(np.int64)
         return pa.table(
             {
+                "wb": pa.array(wb),
+                "word": wa,
                 "doc_id": pa.array(ids, pa.int64()),
-                "n_tokens": pa.array(n_toks, pa.int64()),
-                "n_rare": pa.array(n_rare, pa.int64()),
+                "cnt": pa.array(cnts, pa.int64()),
             }
         )
 
-    return injected.map_batches(score, batch_format="pyarrow")
+    def rare_partials(g: pd.DataFrame) -> pd.DataFrame:
+        tf = g.groupby("word")["cnt"].transform("sum")
+        rare = (
+            g[tf < threshold]
+            .groupby("doc_id", as_index=False)["cnt"]
+            .sum()
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": rare["doc_id"].astype("int64"),
+                "n_tokens": pd.Series(
+                    np.zeros(len(rare), dtype=np.int64)
+                ),
+                "n_rare": rare["cnt"].astype("int64"),
+            }
+        )
+
+    rare_parts = (
+        injected.map_batches(word_doc_counts, batch_format="pyarrow")
+        .groupby("wb")
+        .map_groups(rare_partials, batch_format="pandas")
+    )
+
+    def doc_totals(batch: pa.Table) -> pd.DataFrame:
+        ids, n_toks = [], []
+        for doc_id, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ids.append(doc_id)
+            n_toks.append(len(word_re.findall(t)))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_tokens": pd.Series(n_toks, dtype="int64"),
+                "n_rare": pd.Series(np.zeros(len(ids), dtype=np.int64)),
+            }
+        )
+
+    def with_db(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        df.insert(0, "db", (df["doc_id"] % n_doc_buckets).astype("int64"))
+        return df
+
+    unioned = (
+        injected.map_batches(doc_totals, batch_format="pyarrow")
+        .map_batches(with_db, batch_format="pandas")
+        .union(rare_parts.map_batches(with_db, batch_format="pandas"))
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False)[["n_tokens", "n_rare"]].sum()
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].astype("int64"),
+                "n_tokens": out["n_tokens"].astype("int64"),
+                "n_rare": out["n_rare"].astype("int64"),
+            }
+        )
+
+    return unioned.groupby("db").map_groups(fold, batch_format="pandas")
 
 
 # -- cross-document line dedup (RefinedWeb/CCNet boilerplate removal) --------
@@ -913,84 +989,134 @@ def line_dedup(sf_dir: str, min_docs: int = 3):
     ``banner <id%3>`` (shared across many docs -> removed) and
     ``sig <id>`` (unique -> kept).
 
-    Plan: (1) per doc emit DISTINCT line hashes (128-bit blake2b, 16
-    B/row — content never rides the shuffle), groupby hash with native
-    Count (rows are distinct docs, so Count == doc frequency), filter
-    to >= min_docs; (2) the surviving boilerplate set is broadcast once
-    via ``ray.put`` and each doc filters its lines locally. The
-    broadcast side is the BOILERPLATE set — lines repeated across
-    >= min_docs docs — which is corpus-vocabulary-bounded in practice;
-    at 100 TB swap the frozenset for a bloom filter or a co-shuffled
-    semi-join (same shape as dedup._cogroup_pair_payloads)."""
-    import ray
+    Plan — a fully distributed CO-SHUFFLED SEMI-JOIN (nothing
+    corpus-derived ever lands on the driver; the former frozenset
+    broadcast grew with the corpus, since at CC scale the set of lines
+    appearing in >= min_docs docs is every footer/nav/banner variant):
+
+    1. per doc emit one row per LINE OCCURRENCE — (h1, h2) 128-bit
+       blake2b line hash, doc_id, line_idx; 28 B/row, content never
+       rides this exchange. Key the exchange by a coarse hash bucket
+       so every occurrence of a given line co-locates.
+    2. in-group (pandas): doc frequency per line = nunique(doc_id)
+       via a local transform; occurrences of lines with
+       df >= min_docs are BOILERPLATE SITES — emit (doc_id, line_idx)
+       int pairs only.
+    3. union the boilerplate sites with the docs stream keyed by
+       ``doc_id % n_doc_buckets`` (the dedup._cogroup_pair_payloads
+       union-co-group shape: text rides this one exchange, once per
+       doc) and strip in-group: rebuild the doc's lines, drop the
+       flagged indices, emit (doc_id, n_lines, n_kept, text_clean).
+    """
     import ray.data
-    from ray.data.aggregate import Count
 
     from ..functions.hashing import blake2b128_of_strings
+    from .dedup import coarse_buckets
 
-    def inject_lines(t: pa.Table) -> list[tuple[int, list[str]]]:
-        return [
-            (i, [s, f"footer {i % 7}", f"banner {i % 3}", f"sig {i}"])
-            for s, i in zip(t["text"].to_pylist(), t["doc_id"].to_pylist())
-        ]
+    n_hash_buckets = coarse_buckets()
+    n_doc_buckets = coarse_buckets()
+
+    def _lines_for(doc_id: int, text: str) -> list[str]:
+        return [text, f"footer {doc_id % 7}", f"banner {doc_id % 3}", f"sig {doc_id}"]
 
     ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
 
-    def distinct_line_hashes(batch: pa.Table) -> pa.Table:
-        ids, lines = [], []
-        for doc_id, ls in inject_lines(batch):
-            uniq = set(ls)
-            ids.extend([doc_id] * len(uniq))
-            lines.extend(uniq)
+    def line_occurrences(batch: pa.Table) -> pa.Table:
+        ids, idxs, lines = [], [], []
+        for doc_id, s in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ls = _lines_for(doc_id, s)
+            ids.extend([doc_id] * len(ls))
+            idxs.extend(range(len(ls)))
+            lines.extend(ls)
         h1, h2 = blake2b128_of_strings(pa.array(lines, pa.string()))
         return pa.table(
             {
+                "hb": pa.array(
+                    (h1 % n_hash_buckets).astype(np.int64), pa.int64()
+                ),
                 "h1": pa.array(h1, pa.int64()),
                 "h2": pa.array(h2, pa.int64()),
                 "doc_id": pa.array(ids, pa.int64()),
+                "line_idx": pa.array(idxs, pa.int64()),
             }
         )
 
-    df_agg = (
-        ds.map_batches(distinct_line_hashes, batch_format="pyarrow")
-        .groupby(["h1", "h2"])
-        .aggregate(Count(alias_name="n_docs"))
+    def boiler_sites(g: pd.DataFrame) -> pd.DataFrame:
+        df_per_line = g.groupby(["h1", "h2"])["doc_id"].transform("nunique")
+        hit = g[df_per_line >= min_docs]
+        return pd.DataFrame(
+            {
+                "doc_id": hit["doc_id"].astype("int64"),
+                "line_idx": hit["line_idx"].astype("int64"),
+            }
+        )
+
+    sites = (
+        ds.map_batches(line_occurrences, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(boiler_sites, batch_format="pandas")
     )
 
-    def keep_boiler(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.greater_equal(t["n_docs"], pa.scalar(min_docs, pa.int64()))
-        ).select(["h1", "h2"])
+    # union-co-group by doc bucket: docs carry text (line_idx = -1
+    # marker), sites carry flagged line indices (text = None)
+    def site_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # boiler_sites preserves the group's index; building a frame
+        # from these Series plus a RangeIndex Series would ALIGN on the
+        # index union and NaN-pad (the classic pandas alignment trap)
+        df = df.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "db": (df["doc_id"] % n_doc_buckets).astype("int64"),
+                "doc_id": df["doc_id"].astype("int64"),
+                "line_idx": df["line_idx"].astype("int64"),
+                "text": pd.Series([None] * len(df), dtype="object"),
+            }
+        )
 
-    boiler_rows = df_agg.map_batches(
-        keep_boiler, batch_format="pyarrow"
-    ).take_all()
-    boiler_ref = ray.put(frozenset((r["h1"], r["h2"]) for r in boiler_rows))
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "db": (df["doc_id"] % n_doc_buckets).astype("int64"),
+                "doc_id": df["doc_id"].astype("int64"),
+                "line_idx": np.full(len(df), -1, dtype=np.int64),
+                "text": df["text"].astype("object"),
+            }
+        )
 
-    def strip(batch: pa.Table) -> pa.Table:
-        boiler = ray.get(boiler_ref)
+    unioned = ds.map_batches(doc_rows, batch_format="pandas").union(
+        sites.map_batches(site_rows, batch_format="pandas")
+    )
+
+    def strip(g: pd.DataFrame) -> pd.DataFrame:
+        smask = g["line_idx"] >= 0
+        removed: dict[int, set[int]] = {}
+        for d, i in zip(
+            g.loc[smask, "doc_id"].astype(int), g.loc[smask, "line_idx"].astype(int)
+        ):
+            removed.setdefault(d, set()).add(i)
+        docs = g[~smask]
         ids, n_lines, n_kept, cleaned = [], [], [], []
-        for doc_id, ls in inject_lines(batch):
-            h1, h2 = blake2b128_of_strings(pa.array(ls, pa.string()))
-            kept = [
-                s
-                for s, a, b in zip(ls, h1.tolist(), h2.tolist())
-                if (a, b) not in boiler
-            ]
+        for doc_id, s in zip(docs["doc_id"].astype(int), docs["text"]):
+            ls = _lines_for(doc_id, s)
+            gone = removed.get(doc_id, ())
+            kept = [l for i, l in enumerate(ls) if i not in gone]
             ids.append(doc_id)
             n_lines.append(len(ls))
             n_kept.append(len(kept))
             cleaned.append("\n".join(kept))
-        return pa.table(
+        return pd.DataFrame(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_lines": pa.array(n_lines, pa.int64()),
-                "n_kept": pa.array(n_kept, pa.int64()),
-                "text_clean": pa.array(cleaned, pa.string()),
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_lines": pd.Series(n_lines, dtype="int64"),
+                "n_kept": pd.Series(n_kept, dtype="int64"),
+                "text_clean": pd.Series(cleaned, dtype="object"),
             }
         )
 
-    return ds.map_batches(strip, batch_format="pyarrow")
+    return unioned.groupby("db").map_groups(strip, batch_format="pandas")
 
 
 # -- unicode normalization (NFC + whitespace collapse) ------------------------

@@ -27,6 +27,11 @@ from pdf_parser_ray.pdfcore.gif import (  # noqa: E402
     encode_gif,
     encode_gif_animation,
 )
+from pdf_parser_ray.pdfcore.mp3 import (  # noqa: E402
+    Mp3Error,
+    decode_mp3_meta,
+    encode_mp3,
+)
 from pdf_parser_ray.pdfcore.png import PngError, decode_png, encode_png  # noqa: E402
 from pdf_parser_ray.pdfcore.wav import (  # noqa: E402
     WavError,
@@ -41,10 +46,12 @@ def main() -> int:
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260817
     rng = random.Random(seed)
     t0 = time.time()
-    counts = {"wav": 0, "png": 0, "gif": 0, "gif_anim": 0, "truncation": 0}
+    counts = {
+        "wav": 0, "png": 0, "gif": 0, "gif_anim": 0, "mp3": 0, "truncation": 0
+    }
 
     for i in range(n_rounds):
-        kind = i % 4
+        kind = i % 5
         if kind == 0:
             ch = rng.randint(1, 3)
             width = rng.choice((1, 2))
@@ -80,6 +87,21 @@ def main() -> int:
             counts["gif"] += 1
             payload, err = gif, GifError
             decode = decode_gif
+        elif kind == 4:
+            nf = rng.randint(1, 24)
+            br = rng.choice((32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))
+            rate = rng.choice((44100, 48000, 32000))
+            ch = rng.choice((1, 2))
+            tag = bytes(rng.randrange(256) & 0x7F for _ in range(rng.randint(0, 32)))
+            m = encode_mp3(nf, br, rate, ch, seed=i, id3_payload=tag)
+            meta = decode_mp3_meta(m)
+            assert (
+                meta["sample_rate"], meta["channels"],
+                meta["bitrate_kbps"], meta["n_frames"],
+            ) == (rate, ch, br, nf), f"mp3 mismatch i={i}"
+            counts["mp3"] += 1
+            payload, err = m, Mp3Error
+            decode = decode_mp3_meta
         else:
             w, h = rng.randint(1, 8), rng.randint(1, 8)
             nfr = rng.randint(1, 5)

@@ -168,8 +168,9 @@ def test_ann_topk_ivf_probe_recall(ray_session):
 
 def test_band_cap_bounds_degenerate_corpus():
     """10k identical short docs collapse into ONE band per LSH table —
-    uncapped that is ~50M pairs per band; the cap must skip those bands
-    and return quickly, while small bands still pair normally."""
+    uncapped that is ~50M pairs per band; an over-cap band must degrade
+    to O(n) star sampling (each member paired with the min id) and
+    return quickly, while small bands still pair normally."""
     import time
 
     from pdf_parser_ray.pipelines.dedup import (
@@ -190,7 +191,11 @@ def test_band_cap_bounds_degenerate_corpus():
     t0 = time.monotonic()
     pairs = _bucket_candidate_pairs(banded)
     assert time.monotonic() - t0 < 5.0  # uncapped would take minutes
-    assert len(pairs) == 0  # every band exceeded the cap and was skipped
+    # every band exceeded the cap -> star pairs only: (0, x) for every
+    # other member, deduped across bands = n-1 rows, never ~n^2/2
+    assert len(pairs) == n - 1
+    assert (pairs["a"] == 0).all()
+    assert set(pairs["b"]) == set(range(1, n))
 
     # a band under the cap still yields its pairs
     small = pa.table(
