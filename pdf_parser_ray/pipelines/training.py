@@ -345,7 +345,10 @@ def dup_ngram_mass(sf_dir: str, n: int = 8):
     second exchange folds per-doc partials over 256 doc buckets."""
     import ray.data
 
+    from .dedup import coarse_buckets
+
     n_buckets = 1024
+    n_doc_buckets = coarse_buckets(floor=256)
     ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -364,7 +367,7 @@ def dup_ngram_mass(sf_dir: str, n: int = 8):
         n_docs = g.groupby(["g1", "g2"], sort=False)["doc_id"].transform("size")
         hit = g.loc[n_docs.to_numpy() >= 2, ["doc_id", "c"]]
         out = hit.groupby("doc_id", as_index=False)["c"].sum()
-        out["dbucket"] = out["doc_id"] % 256
+        out["dbucket"] = out["doc_id"] % n_doc_buckets
         return out
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
@@ -1210,7 +1213,8 @@ def bigram_lm_score(sf_dir: str, scale: int = 10**6):
        in-group transform computes BOTH the prefix total
        ``count(w1 .)`` and each bigram count, then collapses to
        per-doc partials ``(doc_id, s, tf)`` before re-keying;
-    3. a second coarse-bucket exchange (doc_id % 256) folds the
+    3. a second coarse-bucket exchange (doc_id % n_doc_buckets,
+       cluster-sized with floor 256) folds the
        per-doc partials with a vectorized in-group sum (Ray's native
        sort-agg over |docs| groups measured ~2x slower).
 
@@ -1224,6 +1228,8 @@ def bigram_lm_score(sf_dir: str, scale: int = 10**6):
     from ..functions.hashing import fnv1a64_of_strings
 
     n_buckets = 1024
+    from .dedup import coarse_buckets as _cb
+    n_doc_buckets = _cb(floor=256)
     ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
     word_re = re.compile(TOKEN_RE)
 
@@ -1272,7 +1278,7 @@ def bigram_lm_score(sf_dir: str, scale: int = 10**6):
         # coarse re-key for the per-doc fold: Ray's native sort-agg
         # over |docs| groups costs ~2x this whole plan; 256 bucket
         # groups with a vectorized in-group sum is the cheap shape
-        out["dbucket"] = out["doc_id"] % 256
+        out["dbucket"] = out["doc_id"] % n_doc_buckets
         return out
 
     def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
