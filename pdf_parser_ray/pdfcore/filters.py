@@ -230,6 +230,172 @@ def dct_decode(data: bytes) -> bytes:
         raise FilterError(f"DCTDecode failed: {e}") from e
 
 
+def ascii_hex_decode(data: bytes, max_bytes: int = MAX_DECODED_BYTES) -> bytes:
+    """ASCIIHexDecode (PDF spec §7.4.2): pairs of hex digits, all PDF
+    whitespace ignored, ``>`` is EOD; an odd trailing digit is padded
+    with ``0``. Absent from the reference's closed filter enum
+    (src/image.rs:126-130) — engine extension for full-spec parity."""
+    out = bytearray()
+    hi = -1
+    for b in data:
+        if b in b"\x00\t\n\x0c\r ":
+            continue
+        if b == 0x3E:  # '>' EOD
+            break
+        if 0x30 <= b <= 0x39:
+            v = b - 0x30
+        elif 0x41 <= b <= 0x46:
+            v = b - 0x41 + 10
+        elif 0x61 <= b <= 0x66:
+            v = b - 0x61 + 10
+        else:
+            raise FilterError(f"ASCIIHexDecode: invalid character {b:#04x}")
+        if hi < 0:
+            hi = v
+        else:
+            out.append((hi << 4) | v)
+            hi = -1
+        if len(out) > max_bytes:
+            raise FilterError("ASCIIHexDecode output exceeds safety cap")
+    if hi >= 0:  # odd digit count: pad with 0
+        out.append(hi << 4)
+    return bytes(out)
+
+
+def ascii_hex_encode(data: bytes) -> bytes:
+    return data.hex().upper().encode("ascii") + b">"
+
+
+def ascii85_decode(data: bytes, max_bytes: int = MAX_DECODED_BYTES) -> bytes:
+    """ASCII85Decode (PDF spec §7.4.3): base-85 groups of 5 chars for
+    4 bytes, ``z`` shorthand for an all-zero group, ``~>`` is EOD, PDF
+    whitespace ignored. A final partial group of n chars (2 <= n <= 4)
+    is padded with ``u`` and yields n-1 bytes."""
+    out = bytearray()
+    group: list[int] = []
+
+    def flush(g: list[int], n_out: int) -> None:
+        acc = 0
+        for c in g:
+            acc = acc * 85 + c
+        if acc > 0xFFFFFFFF:
+            raise FilterError("ASCII85Decode: group value overflow")
+        out.extend(acc.to_bytes(4, "big")[:n_out])
+
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b in b"\x00\t\n\x0c\r ":
+            continue
+        if b == 0x7E:  # '~' — must start the '~>' EOD (whitespace may
+            # intervene: the spec lets whitespace occur anywhere)
+            while i < n and data[i] in b"\x00\t\n\x0c\r ":
+                i += 1
+            if i >= n or data[i] != 0x3E:
+                raise FilterError("ASCII85Decode: '~' without '>'")
+            break
+        if b == 0x7A:  # 'z'
+            if group:
+                raise FilterError("ASCII85Decode: 'z' inside group")
+            out.extend(b"\x00\x00\x00\x00")
+        elif 0x21 <= b <= 0x75:  # '!'..'u'
+            group.append(b - 0x21)
+            if len(group) == 5:
+                flush(group, 4)
+                group = []
+        else:
+            raise FilterError(f"ASCII85Decode: invalid character {b:#04x}")
+        if len(out) > max_bytes:
+            raise FilterError("ASCII85Decode output exceeds safety cap")
+    if group:
+        if len(group) == 1:
+            raise FilterError("ASCII85Decode: lone trailing character")
+        k = len(group)
+        flush(group + [84] * (5 - k), k - 1)  # pad with 'u' (84)
+    return bytes(out)
+
+
+def ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data) - len(data) % 4, 4):
+        acc = int.from_bytes(data[i : i + 4], "big")
+        if acc == 0:
+            out.append(0x7A)  # 'z'
+            continue
+        g = bytearray(5)
+        for j in range(4, -1, -1):
+            g[j] = 0x21 + acc % 85
+            acc //= 85
+        out.extend(g)
+    rem = len(data) % 4
+    if rem:
+        acc = int.from_bytes(data[-rem:] + b"\x00" * (4 - rem), "big")
+        g = bytearray(5)
+        for j in range(4, -1, -1):
+            g[j] = 0x21 + acc % 85
+            acc //= 85
+        out.extend(g[: rem + 1])
+    out.extend(b"~>")
+    return bytes(out)
+
+
+def run_length_decode(data: bytes, max_bytes: int = MAX_DECODED_BYTES) -> bytes:
+    """RunLengthDecode (PDF spec §7.4.5): length byte L; L <= 127 means
+    copy the next L+1 bytes literally, L >= 129 means repeat the next
+    byte 257-L times, L == 128 is EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        L = data[i]
+        i += 1
+        if L == 128:
+            return bytes(out)
+        if L <= 127:
+            if i + L + 1 > n:
+                raise FilterError("RunLengthDecode: truncated literal run")
+            out.extend(data[i : i + L + 1])
+            i += L + 1
+        else:
+            if i >= n:
+                raise FilterError("RunLengthDecode: truncated repeat run")
+            out.extend(data[i : i + 1] * (257 - L))
+            i += 1
+        if len(out) > max_bytes:
+            raise FilterError("RunLengthDecode output exceeds safety cap")
+    raise FilterError("RunLengthDecode: missing EOD (128)")
+
+
+def run_length_encode(data: bytes) -> bytes:
+    """Greedy run-length encoder: repeats of >= 3 become repeat runs,
+    everything else literal runs (<= 128 bytes each)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+
+    def flush_literal(end: int) -> None:
+        nonlocal lit_start
+        while lit_start < end:
+            chunk = min(128, end - lit_start)
+            out.append(chunk - 1)
+            out.extend(data[lit_start : lit_start + chunk])
+            lit_start += chunk
+
+    while i < n:
+        j = i
+        while j < n and data[j] == data[i] and j - i < 128:
+            j += 1
+        if j - i >= 3:
+            flush_literal(i)
+            out.append(257 - (j - i))
+            out.append(data[i])
+            lit_start = j
+        i = j if j > i + 1 else i + 1
+    flush_literal(n)
+    out.append(128)
+    return bytes(out)
+
+
 _FILTERS = {
     "FlateDecode": flate_decode,
     "LZWDecode": lzw_decode,
@@ -254,6 +420,12 @@ def decode_stream(data: bytes, filter_names: list[str], parms: list[dict] | None
             out = apply_predictor(out, parm)
         elif name == "DCTDecode":
             out = dct_decode(out)
+        elif name == "ASCIIHexDecode":
+            out = ascii_hex_decode(out)
+        elif name == "ASCII85Decode":
+            out = ascii85_decode(out)
+        elif name == "RunLengthDecode":
+            out = run_length_decode(out)
         else:
             raise FilterError("filter is not supportted")
     return out

@@ -180,7 +180,7 @@ def build_text_pdf(
     *,
     page_size: int = 40,
     show_variant: str = "tj",         # tj | tj_split | hex | cmap
-    stream_filter: str = "none",      # none | flate | lzw
+    stream_filter: str = "none",      # none|flate|lzw|flate+lzw|ahx|a85+flate|rl
     indirect_length: bool = False,
     xref_kind: str = "classic",       # classic | stream | objstm | prev
     image: dict | None = None,        # {width, height, pixels, smask_pixels?}
@@ -340,6 +340,23 @@ def build_text_pdf(
             # reverse order (LZW innermost)
             data = zlib.compress(lzw_encode(content))
             filt = b"/Filter [ /FlateDecode /LZWDecode ]"
+        elif stream_filter == "ahx":
+            from .filters import ascii_hex_encode
+
+            data = ascii_hex_encode(content)
+            filt = b"/Filter /ASCIIHexDecode"
+        elif stream_filter == "a85+flate":
+            # the common real-world chain: binary flate body transported
+            # as 7-bit ASCII85 (decode order A85 then Flate)
+            from .filters import ascii85_encode
+
+            data = ascii85_encode(zlib.compress(content))
+            filt = b"/Filter [ /ASCII85Decode /FlateDecode ]"
+        elif stream_filter == "rl":
+            from .filters import run_length_encode
+
+            data = run_length_encode(content)
+            filt = b"/Filter /RunLengthDecode"
         else:
             data = content
             filt = b""
