@@ -376,6 +376,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_dedup_pipeline": boilerplate_dedup_pipeline,
         "doc_rollup": relational.doc_rollup,
         "url_canonicalize": training.url_canonicalize,
+        "quantile_sketch": sketch.quantile_sketch,
+        "bottomk_sample_per_lang": training.bottomk_sample_per_lang,
+        "term_postings": textstats.term_postings,
     }
 
 
@@ -1818,5 +1821,68 @@ def oracle_sql() -> dict[str, str]:
                                || '.example/p/' || s4.doc_id
                         THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok
             FROM s4
+        """,
+        # same fixed-width histogram the engine merges: bin = n_chars
+        # // 64, rank = integer ceil (q*n+99)//100, answer = first
+        # bin with cum >= rank, reported as its inclusive upper edge
+        "quantile_sketch": """
+            WITH h AS (
+              SELECT lang, n_chars // 64 AS bin, COUNT(*) AS cnt
+              FROM documents GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT lang, bin,
+                     SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                     SUM(cnt) OVER (PARTITION BY lang) AS n
+              FROM h
+            )
+            SELECT lang, CAST(50 AS BIGINT) AS q_pct,
+                   CAST(MIN(n) AS BIGINT) AS n,
+                   CAST(MIN(bin) * 64 + 63 AS BIGINT) AS est_hi
+            FROM c WHERE cum >= (50 * n + 99) // 100 GROUP BY lang
+            UNION ALL
+            SELECT lang, CAST(90 AS BIGINT) AS q_pct,
+                   CAST(MIN(n) AS BIGINT) AS n,
+                   CAST(MIN(bin) * 64 + 63 AS BIGINT) AS est_hi
+            FROM c WHERE cum >= (90 * n + 99) // 100 GROUP BY lang
+        """,
+        # hash-rank bottom-k: the k smallest FNV-1a64(doc_id) per lang
+        "bottomk_sample_per_lang": """
+            WITH k AS (
+              SELECT lang, doc_id, """
+        + _FNV64_SQL.replace("<S>", "CAST(doc_id AS VARCHAR)")
+        + """ AS key
+              FROM documents
+            ),
+            r AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                        PARTITION BY lang ORDER BY key, doc_id
+                     ) AS rank
+              FROM k
+            )
+            SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 16
+        """,
+        # exact containing-doc count + first-20 ascending posting
+        # prefix per query term (token membership, not substring)
+        "term_postings": """
+            WITH m AS (
+              SELECT t.term, d.doc_id
+              FROM documents d
+              CROSS JOIN (
+                SELECT unnest(['vector', 'spark', 'hash', 'window']) AS term
+              ) t
+              WHERE list_contains(
+                      regexp_extract_all(d.text, '[A-Za-z0-9]+'), t.term)
+            )
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   array_to_string(
+                     list_transform(
+                       list_sort(list(doc_id))[1:20],
+                       x -> CAST(x AS VARCHAR)),
+                     ',') AS postings
+            FROM m GROUP BY term
         """,
     }

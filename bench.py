@@ -79,6 +79,9 @@ BENCH_QUERIES = (
     "boilerplate_dedup_pipeline",
     "doc_rollup",
     "url_canonicalize",
+    "quantile_sketch",
+    "bottomk_sample_per_lang",
+    "term_postings",
 )
 
 

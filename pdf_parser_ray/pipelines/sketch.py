@@ -121,3 +121,70 @@ def kmv_distinct_tokens(sf_dir: str, k: int = 128):
         .groupby("lang")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def quantile_sketch(sf_dir: str, quantiles=(50, 90), bin_width: int = 64):
+    """Per-language quantiles of n_chars from a MERGEABLE fixed-width
+    histogram sketch — the documented fleet-scale swap-in for
+    ``relational.chars_quantiles`` (whose exact-by-sort stage needs a
+    group's raw values on one worker). Here every batch emits at most
+    one (lang, bin) row per occupied bin (bin = n_chars // bin_width),
+    partials merge by integer addition, and the quantile answer is the
+    first bin whose cumulative count reaches rank ceil(q*n/100) —
+    reported as that bin's inclusive upper edge, so the estimate is
+    within bin_width of the exact quantile and EXACTLY restatable in
+    SQL (pure integer arithmetic end to end; ceil via (q*n+99)//100,
+    never floats).
+
+    Ray shape: vectorized per-batch np.unique partial -> ONE exchange
+    of (lang, bin, cnt) rows (16 B each, at most n_bins per batch) ->
+    tiny per-lang merge. The corpus never shuffles."""
+    import pandas as pd
+    import ray.data
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["lang", "n_chars"])
+    bw = int(bin_width)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pandas(),
+                "bin": t["n_chars"].to_numpy(zero_copy_only=False) // bw,
+            }
+        )
+        g = df.groupby(["lang", "bin"], sort=False).size().reset_index(name="cnt")
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "bin": pa.array(g["bin"].astype("int64"), pa.int64()),
+                "cnt": pa.array(g["cnt"].astype("int64"), pa.int64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        lang = g["lang"][0].as_py()
+        bins = g["bin"].to_numpy(zero_copy_only=False)
+        cnts = g["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bins, kind="stable")
+        ub, inv = np.unique(bins[order], return_inverse=True)
+        tot = np.zeros(len(ub), np.int64)
+        np.add.at(tot, inv, cnts[order])
+        cum = np.cumsum(tot)
+        n = int(cum[-1]) if len(cum) else 0
+        rows = []
+        for q in quantiles:
+            rank = (q * n + 99) // 100  # integer ceil(q*n/100)
+            i = int(np.searchsorted(cum, rank, side="left"))
+            est_hi = int(ub[i]) * bw + bw - 1 if n else 0
+            rows.append((lang, int(q), n, est_hi))
+        out = pd.DataFrame(rows, columns=["lang", "q_pct", "n", "est_hi"])
+        return pa.Table.from_pandas(
+            out.astype({"q_pct": "int64", "n": "int64", "est_hi": "int64"}),
+            preserve_index=False,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pyarrow")
+    )

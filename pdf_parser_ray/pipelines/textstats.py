@@ -153,3 +153,78 @@ def fingerprints(sf_dir: str):
 
     ds = ray.data.read_parquet(documents_path(sf_dir), columns=["doc_id", "text"])
     return ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=default_concurrency())
+
+
+# -- bounded inverted-index postings ------------------------------------------
+
+POSTING_TERMS = ("vector", "spark", "hash", "window")
+
+
+def term_postings(sf_dir: str, terms=POSTING_TERMS, cap: int = 20):
+    """Inverted-index construction for a broadcast query-term set,
+    with BOUNDED posting emission: per term, the exact containing-doc
+    count plus the first ``cap`` doc_ids (ascending) as the posting
+    prefix — the retrieval-index building block that stays
+    driver-safe at corpus scale (a full posting list for a frequent
+    term is corpus-sized; the count + capped prefix is 24 B * cap).
+
+    Ray shape: the term set rides the task closure (broadcast once);
+    each batch emits at most (cap + 1) rows per term — a capped
+    posting partial and one count partial — then one tiny per-term
+    merge. Tokenization is whole-doc set membership, matching the SQL
+    oracle's list_contains(regexp_extract_all(...)) exactly."""
+    import numpy as np
+    import ray.data
+
+    word_re = re.compile(TOKEN_RE)
+    term_tuple = tuple(terms)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hits: dict[str, list[int]] = {term: [] for term in term_tuple}
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = set(word_re.findall(text))
+            for term in term_tuple:
+                if term in toks:
+                    hits[term].append(doc_id)
+        terms_out, ids_out, cnt_out = [], [], []
+        for term, ids in hits.items():
+            if not ids:
+                continue
+            ids.sort()
+            for i in ids[:cap]:  # capped posting partial
+                terms_out.append(term)
+                ids_out.append(i)
+                cnt_out.append(0)
+            terms_out.append(term)  # count partial (doc_id = -1 sentinel)
+            ids_out.append(-1)
+            cnt_out.append(len(ids))
+        return pa.table(
+            {
+                "term": pa.array(terms_out, pa.string()),
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "cnt": pa.array(cnt_out, pa.int64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        term = g["term"][0].as_py()
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        cnts = g["cnt"].to_numpy(zero_copy_only=False)
+        n_docs = int(cnts.sum())
+        posting = np.sort(ids[ids >= 0])[:cap]
+        return pa.table(
+            {
+                "term": pa.array([term], pa.string()),
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "postings": pa.array(
+                    [",".join(str(int(i)) for i in posting)], pa.string()
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(documents_path(sf_dir), columns=["doc_id", "text"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(merge, batch_format="pyarrow")
+    )

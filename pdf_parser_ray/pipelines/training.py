@@ -210,6 +210,57 @@ def stratified_sample(sf_dir: str):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def bottomk_sample_per_lang(sf_dir: str, k: int = 16):
+    """Fixed-BUDGET per-group sampling: exactly min(k, group size) docs
+    per language, chosen as the k smallest FNV-1a64(doc_id) — the
+    deterministic, partition-order-free equivalent of a per-group
+    reservoir sample (hash rank replaces the random draw, so a re-run
+    and the SQL oracle see the identical sample).
+
+    Ray shape: per-batch LOCAL bottom-k per lang (so at most
+    k * n_langs rows of 24 B leave any batch regardless of batch
+    size), then one tiny per-lang merge — the distributed bottom-k
+    selection pattern; the corpus never shuffles."""
+    import ray.data
+
+    from ..functions.hashing import fnv1a64_of_int_strings
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "lang"])
+    half = np.uint64(1 << 63)
+
+    def local_bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        ks = fnv1a64_of_int_strings(df["doc_id"].to_numpy())
+        out = pd.DataFrame(
+            {
+                "lang": df["lang"].to_numpy(),
+                "doc_id": df["doc_id"].astype("int64").to_numpy(),
+                # order-preserving signed remap (same as shuffle_assignment)
+                "key": (ks - half).view(np.int64),
+            }
+        )
+        return (
+            out.sort_values(["key", "doc_id"], kind="mergesort")
+            .groupby("lang", sort=False)
+            .head(k)
+        )
+
+    def final_bottomk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "doc_id"], kind="mergesort").head(k)
+        return pd.DataFrame(
+            {
+                "lang": g["lang"],
+                "doc_id": g["doc_id"].astype("int64"),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(local_bottomk, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final_bottomk, batch_format="pandas")
+    )
+
+
 # -- BPE-ish pre-tokenizer counting -----------------------------------------
 
 # GPT-2-style pre-tokenizer classes, simplified to stay RE2-compatible

@@ -1,6 +1,7 @@
-"""Extended codec fuzz campaign: WAV / PNG / GIF (single + animated)
-encode->decode roundtrips over seeded random payloads, plus truncation
-probes that must raise the codec's own error type and nothing else.
+"""Extended codec fuzz campaign: WAV / PNG / GIF (single + animated) /
+MP3 / PDF stream-filter (ASCIIHex, ASCII85, RunLength) encode->decode
+roundtrips over seeded random payloads, plus truncation probes that
+must raise the codec's own error type and nothing else.
 
 Complements the per-codec pytest suites (bounded example counts) with
 a large-N evidence run, the same role scripts/differential_campaign.py
@@ -32,6 +33,15 @@ from pdf_parser_ray.pdfcore.mp3 import (  # noqa: E402
     decode_mp3_meta,
     encode_mp3,
 )
+from pdf_parser_ray.pdfcore.filters import (  # noqa: E402
+    FilterError,
+    ascii85_decode,
+    ascii85_encode,
+    ascii_hex_decode,
+    ascii_hex_encode,
+    run_length_decode,
+    run_length_encode,
+)
 from pdf_parser_ray.pdfcore.png import PngError, decode_png, encode_png  # noqa: E402
 from pdf_parser_ray.pdfcore.wav import (  # noqa: E402
     WavError,
@@ -47,11 +57,12 @@ def main() -> int:
     rng = random.Random(seed)
     t0 = time.time()
     counts = {
-        "wav": 0, "png": 0, "gif": 0, "gif_anim": 0, "mp3": 0, "truncation": 0
+        "wav": 0, "png": 0, "gif": 0, "gif_anim": 0, "mp3": 0,
+        "filters": 0, "truncation": 0,
     }
 
     for i in range(n_rounds):
-        kind = i % 5
+        kind = i % 6
         if kind == 0:
             ch = rng.randint(1, 3)
             width = rng.choice((1, 2))
@@ -102,6 +113,24 @@ def main() -> int:
             counts["mp3"] += 1
             payload, err = m, Mp3Error
             decode = decode_mp3_meta
+        elif kind == 5:
+            # PDF transport filters: roundtrip each, then truncate one.
+            # A truncated prefix must decode (both EODs are optional /
+            # lenient) or raise FilterError — nothing else.
+            raw = bytes(rng.randrange(256) for _ in range(rng.randint(0, 96)))
+            assert ascii_hex_decode(ascii_hex_encode(raw)) == raw, f"ahx i={i}"
+            assert ascii85_decode(ascii85_encode(raw)) == raw, f"a85 i={i}"
+            assert run_length_decode(run_length_encode(raw)) == raw, f"rl i={i}"
+            counts["filters"] += 1
+            enc, dec = rng.choice(
+                (
+                    (ascii_hex_encode, ascii_hex_decode),
+                    (ascii85_encode, ascii85_decode),
+                    (run_length_encode, run_length_decode),
+                )
+            )
+            payload, err = enc(raw), FilterError
+            decode = dec
         else:
             w, h = rng.randint(1, 8), rng.randint(1, 8)
             nfr = rng.randint(1, 5)
