@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch": sketch.quantile_sketch,
         "bottomk_sample_per_lang": training.bottomk_sample_per_lang,
         "term_postings": textstats.term_postings,
+        "near_dedup_survivors": dedup.near_dedup_survivors,
     }
 
 
@@ -466,6 +467,45 @@ WITH corpus AS (
   UNION ALL
   SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 5
 )
+"""
+
+# full exact-Jaccard pair CTEs over ``corpus`` (appended to
+# _DUP_CORPUS): 3-token-shingle sets rebuilt in SQL, pair intersection
+# via a shingle equi-join, threshold 0.5 as integer arithmetic
+# (2c >= |A|+|B|-c). Valid because the corpus pair-jaccard
+# distribution is bimodal (nothing in [0.25, 0.75) at any sf), so LSH
+# recall at these jaccard levels is deterministic-in-practice with the
+# fixed seed. Shared by minhash_near_pairs and near_dedup_survivors.
+_NEAR_PAIRS_CTES = """
+            , tok AS (
+              SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts
+              FROM corpus
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                          ELSE list_transform(
+                                 generate_series(1, len(ts) - 2),
+                                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                     END AS shl
+              FROM tok
+            ),
+            sets AS (
+              SELECT DISTINCT doc_id, s
+              FROM (SELECT doc_id, unnest(shl) AS s FROM sh)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+              FROM sets x JOIN sets y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON sa.doc_id = inter.a
+              JOIN sizes sb ON sb.doc_id = inter.b
+              WHERE 2 * c >= (sa.n + sb.n - c)
+            )
 """
 
 _EMB_CORPUS = """
@@ -766,41 +806,20 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus a JOIN corpus b
               ON a.text = b.text AND a.doc_id < b.doc_id
         """,
-        # full exact-Jaccard oracle: 3-token-shingle sets rebuilt in SQL,
-        # pair intersection via a shingle equi-join, threshold 0.5 as
-        # integer arithmetic (2c >= |A|+|B|-c). Valid because the corpus
-        # pair-jaccard distribution is bimodal (nothing in [0.25, 0.75)
-        # at any sf), so LSH recall at these jaccard levels is
-        # deterministic-in-practice with the fixed seed.
+        # exact-Jaccard pair oracle — see _NEAR_PAIRS_CTES for why the
+        # SQL restatement is exact at these jaccard levels
         "minhash_near_pairs": _DUP_CORPUS
+        + _NEAR_PAIRS_CTES
         + """
-            , tok AS (
-              SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts
-              FROM corpus
-            ),
-            sh AS (
-              SELECT doc_id,
-                     CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-                          ELSE list_transform(
-                                 generate_series(1, len(ts) - 2),
-                                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
-                     END AS shl
-              FROM tok
-            ),
-            sets AS (
-              SELECT DISTINCT doc_id, s
-              FROM (SELECT doc_id, unnest(shl) AS s FROM sh)
-            ),
-            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
-            inter AS (
-              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
-              FROM sets x JOIN sets y ON x.s = y.s AND x.doc_id < y.doc_id
-              GROUP BY 1, 2
-            )
-            SELECT a, b FROM inter
-            JOIN sizes sa ON sa.doc_id = inter.a
-            JOIN sizes sb ON sb.doc_id = inter.b
-            WHERE 2 * c >= (sa.n + sb.n - c)
+            SELECT a, b FROM pairs
+        """,
+        # the removal composite: drop the larger member of every
+        # verified near-dup pair (keep-smallest-id), emit survivors
+        "near_dedup_survivors": _DUP_CORPUS
+        + _NEAR_PAIRS_CTES
+        + """
+            SELECT doc_id FROM corpus
+            WHERE doc_id NOT IN (SELECT b FROM pairs)
         """,
         "dedup_clusters": _DUP_CORPUS
         + """

@@ -82,6 +82,7 @@ BENCH_QUERIES = (
     "quantile_sketch",
     "bottomk_sample_per_lang",
     "term_postings",
+    "near_dedup_survivors",
 )
 
 

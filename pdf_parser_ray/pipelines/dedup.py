@@ -886,3 +886,63 @@ def simhash_fingerprints(sf_dir: str, max_hamming: int = 6):
         .aggregate(Count(alias_name="_n"))
         .select_columns(["a", "b"])
     )
+
+
+def near_dedup_survivors(sf_dir: str, threshold: float = 0.5, n_buckets: int | None = None):
+    """End-to-end near-dedup REMOVAL (the canonical LLM-corpus dedup
+    step): run the verified MinHash-LSH pair finder, then drop the
+    LARGER member of every near-dup pair (keep-smallest-id rule) and
+    return the surviving doc_ids — the filtered corpus a training run
+    would actually read.
+
+    Shape: pairs come from ``minhash_dup_pairs`` (fully distributed,
+    see its docstring); removal is a co-shuffled reduce-side ANTI-join
+    (the customers_no_orders pattern): corpus id rows and pair-derived
+    removal markers share one coarse-bucket exchange, a vectorized
+    isin inside each bucket group keeps the non-removed ids. The
+    removal set is pair-derived and corpus-growing, so it is NEVER
+    broadcast or driver-resident."""
+    import pyarrow.compute as pc
+
+    pairs = minhash_dup_pairs(sf_dir, threshold, n_buckets)
+    nb = _join_partitions(n_buckets)
+
+    def corpus_side(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["doc_id"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.subtract(
+                    k, pc.multiply(pc.divide(k, nb), pa.scalar(nb, pa.int64()))
+                ),
+                "key": k,
+                "is_removed": pa.array(np.zeros(len(k), np.int64)),
+            }
+        )
+
+    def removed_side(t: pa.Table) -> pa.Table:
+        # in-batch dedup: only distinct removed ids ride the shuffle
+        k = pc.cast(t["b"], pa.int64()).unique()
+        return pa.table(
+            {
+                "bucket": pc.subtract(
+                    k, pc.multiply(pc.divide(k, nb), pa.scalar(nb, pa.int64()))
+                ),
+                "key": k,
+                "is_removed": pa.array(np.ones(len(k), np.int64)),
+            }
+        )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        removed = g.loc[g["is_removed"] == 1, "key"].unique()
+        keep = g.loc[g["is_removed"] == 0, "key"]
+        keep = keep[~keep.isin(removed)]
+        return pd.DataFrame({"doc_id": keep.astype("int64").to_numpy()})
+
+    ids = dup_corpus(sf_dir).select_columns(["doc_id"])
+    return (
+        ids.map_batches(corpus_side, batch_format="pyarrow")
+        .union(pairs.map_batches(removed_side, batch_format="pyarrow"))
+        .map_batches(lambda t: t, batch_format="pyarrow")  # normalize blocks
+        .groupby("bucket")
+        .map_groups(anti, batch_format="pandas")
+    )

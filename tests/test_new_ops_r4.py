@@ -113,3 +113,20 @@ def test_term_postings_cap(ray_session, tmp_path):
     got = textstats.term_postings(sf, terms=("hash",), cap=5).to_pandas()
     assert got.loc[0, "n_docs"] == 30  # exact count survives the cap
     assert got.loc[0, "postings"] == "0,1,2,3,4"
+
+
+def test_near_dedup_survivors_consistent_with_pairs(ray_session):
+    from pdf_parser_ray.pipelines import dedup
+
+    sf = "/root/testdata/sf0.001"
+    surv = set(
+        dedup.near_dedup_survivors(sf).to_pandas()["doc_id"].tolist()
+    )
+    pairs = dedup.minhash_dup_pairs(sf, threshold=0.5).to_pandas()
+    corpus = set(dedup.dup_corpus(sf).to_pandas()["doc_id"].tolist())
+    removed = set(pairs["b"].tolist())
+    assert surv == corpus - removed
+    # keep-smallest rule: the smaller member of every pair survives
+    # unless it is itself the larger member of another pair
+    assert removed.isdisjoint(surv)
+    assert len(surv) < len(corpus)  # the dup corpus always has dups
