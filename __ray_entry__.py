@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_sample_per_lang": training.bottomk_sample_per_lang,
         "term_postings": textstats.term_postings,
         "near_dedup_survivors": dedup.near_dedup_survivors,
+        "quality_classifier_score": textstats.quality_classifier_score,
     }
 
 
@@ -1903,5 +1904,28 @@ def oracle_sql() -> dict[str, str]:
                        x -> CAST(x AS VARCHAR)),
                      ',') AS postings
             FROM m GROUP BY term
+        """,
+        # the same integer dot product over the quality features
+        # (weights 1, 20, 50, -30; threshold 2000)
+        "quality_classifier_score": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars_calc,
+                     length(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                       AS n_tokens,
+                     length(list_filter(
+                       regexp_extract_all(text, '[A-Za-z0-9]+'),
+                       x -> x IN ('the','and','of','a','to','in')))
+                       AS n_stopwords,
+                     length(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_chars_calc + 20 * n_tokens + 50 * n_stopwords
+                        - 30 * n_punct AS BIGINT) AS score,
+                   CAST(CASE WHEN n_chars_calc + 20 * n_tokens
+                                  + 50 * n_stopwords - 30 * n_punct >= 2000
+                             THEN 1 ELSE 0 END AS BIGINT) AS kept
+            FROM f
         """,
     }

@@ -83,6 +83,7 @@ BENCH_QUERIES = (
     "bottomk_sample_per_lang",
     "term_postings",
     "near_dedup_survivors",
+    "quality_classifier_score",
 )
 
 

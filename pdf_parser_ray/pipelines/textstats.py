@@ -228,3 +228,57 @@ def term_postings(sf_dir: str, terms=POSTING_TERMS, cap: int = 20):
         .groupby("term")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# -- broadcast-model quality classifier ---------------------------------------
+
+# the "model": integer weights over the quality_batch features. A real
+# deployment swaps these for trained (e.g. fasttext/logreg) weights —
+# the Ray plumbing (ray.put once, ray.get per actor __init__) is what
+# this operator demonstrates, and integer weights keep the score
+# exactly restatable in SQL.
+QC_WEIGHTS = (("n_chars_calc", 1), ("n_tokens", 20), ("n_stopwords", 50), ("n_punct", -30))
+QC_THRESHOLD = 2000
+
+
+class QualityClassifier:
+    """Stateful scoring stage: the weight vector is fetched from the
+    object store ONCE per actor (never re-shipped per batch); scoring
+    is a vectorized integer dot product over quality_batch features."""
+
+    def __init__(self, weights_ref=None):
+        if weights_ref is None:
+            self.w = dict(QC_WEIGHTS)
+        else:
+            import ray
+
+            self.w = dict(ray.get(weights_ref))
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        f = quality_batch(df)
+        score = sum(int(w) * f[c] for c, w in self.w.items())
+        return pd.DataFrame(
+            {
+                "doc_id": f["doc_id"].astype("int64"),
+                "score": score.astype("int64"),
+                "kept": (score >= QC_THRESHOLD).astype("int64"),
+            }
+        )
+
+
+def quality_classifier_score(sf_dir: str):
+    """Model-scoring quality gate (the stand-in for fasttext/logreg
+    quality classifiers in CC pipelines): broadcast the model weights
+    once via ray.put, score every document in an actor pool, emit
+    (doc_id, score, kept)."""
+    import ray
+    import ray.data
+
+    weights_ref = ray.put(tuple(QC_WEIGHTS))
+    ds = ray.data.read_parquet(documents_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(
+        QualityClassifier,
+        batch_format="pandas",
+        concurrency=default_concurrency(),
+        fn_constructor_args=(weights_ref,),
+    )

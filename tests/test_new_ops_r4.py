@@ -130,3 +130,25 @@ def test_near_dedup_survivors_consistent_with_pairs(ray_session):
     # unless it is itself the larger member of another pair
     assert removed.isdisjoint(surv)
     assert len(surv) < len(corpus)  # the dup corpus always has dups
+
+
+def test_quality_classifier_hand_case(ray_session, tmp_path):
+    from pdf_parser_ray.pipelines.textstats import (
+        QC_THRESHOLD,
+        quality_classifier_score,
+    )
+
+    # doc 0: "the cat." -> chars=8, tokens=2, stop=1, punct=1
+    #   score = 8 + 40 + 50 - 30 = 68 -> kept=0
+    # doc 1: long enough to clear the threshold
+    rows = [
+        (0, "the cat.", "en", 8),
+        (1, "the " * 40 + "x", "en", 161),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = quality_classifier_score(sf).to_pandas().set_index("doc_id")
+    assert got.loc[0, "score"] == 68
+    assert got.loc[0, "kept"] == 0
+    # doc 1: chars=161, tokens=41, stop=40, punct=0 -> 161+820+2000=2981
+    assert got.loc[1, "score"] == 2981
+    assert got.loc[1, "kept"] == int(2981 >= QC_THRESHOLD)
