@@ -938,7 +938,19 @@ def near_dedup_survivors(sf_dir: str, threshold: float = 0.5, n_buckets: int | N
         keep = keep[~keep.isin(removed)]
         return pd.DataFrame({"doc_id": keep.astype("int64").to_numpy()})
 
-    ids = dup_corpus(sf_dir).select_columns(["doc_id"])
+    def corpus_ids(t: pa.Table) -> pa.Table:
+        # the dup-corpus id set is derivable from doc_id alone (base
+        # ids + offset copies for %10 in {0,5}) — never re-synthesize
+        # the mutated text just to drop it
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        extra = ids[(ids % 10 == 0) | (ids % 10 == 5)] + DUP_OFFSET
+        return pa.table({"doc_id": pa.array(np.concatenate([ids, extra]))})
+
+    import ray.data
+
+    ids = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id"]
+    ).map_batches(corpus_ids, batch_format="pyarrow")
     return (
         ids.map_batches(corpus_side, batch_format="pyarrow")
         .union(pairs.map_batches(removed_side, batch_format="pyarrow"))
