@@ -48,16 +48,17 @@ def test_quantile_sketch_hand_case(ray_session, tmp_path):
 
 def test_quantile_sketch_brackets_exact(ray_session):
     """On the real corpus the sketch upper edge must bracket the exact
-    discrete quantile from above, within one bin width."""
-    import math
-
+    discrete quantile from above, within one bin width. Uses the
+    sketch's own INTEGER rank rule (q*n+99)//100 — deliberately not
+    float math.ceil, which differs at ranks like ceil(0.9*10)."""
     sf = "/root/testdata/sf0.001"
     got = sketch.quantile_sketch(sf).to_pandas().set_index(["lang", "q_pct"])
     t = pq.read_table(sf + "/documents.parquet", columns=["lang", "n_chars"])
     df = t.to_pandas()
     for (lang, q), row in got.iterrows():
         vals = np.sort(df[df["lang"] == lang]["n_chars"].to_numpy())
-        exact = int(vals[max(0, math.ceil(q / 100 * len(vals)) - 1)])
+        rank = (int(q) * len(vals) + 99) // 100  # 1-based integer ceil
+        exact = int(vals[max(0, rank - 1)])
         assert exact <= row["est_hi"] < exact + 64, (lang, q, exact, row["est_hi"])
 
 
