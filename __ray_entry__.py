@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_postings": textstats.term_postings,
         "near_dedup_survivors": dedup.near_dedup_survivors,
         "quality_classifier_score": textstats.quality_classifier_score,
+        "url_dedup_windowed": dedup.url_dedup_windowed,
     }
 
 
@@ -1927,5 +1928,25 @@ def oracle_sql() -> dict[str, str]:
                                   + 50 * n_stopwords - 30 * n_punct >= 2000
                              THEN 1 ELSE 0 END AS BIGINT) AS kept
             FROM f
+        """,
+        # same synth re-crawls as url_dedup plus a 72h next-window
+        # re-crawl for every 11th doc; keep latest per (doc, 48h window)
+        "url_dedup_windowed": """
+            WITH base AS (
+              SELECT doc_id,
+                     1704067200000000 + doc_id * 1000000 AS ts
+              FROM documents
+            ),
+            crawls AS (
+              SELECT doc_id, ts FROM base
+              UNION ALL
+              SELECT doc_id, ts + 3600000000 FROM base WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT doc_id, ts + 259200000000 FROM base WHERE doc_id % 11 = 0
+            )
+            SELECT doc_id,
+                   CAST(ts // 172800000000 AS BIGINT) AS window_id,
+                   CAST(MAX(ts) AS BIGINT) AS ts_us
+            FROM crawls GROUP BY doc_id, ts // 172800000000
         """,
     }

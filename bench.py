@@ -84,6 +84,7 @@ BENCH_QUERIES = (
     "term_postings",
     "near_dedup_survivors",
     "quality_classifier_score",
+    "url_dedup_windowed",
 )
 
 

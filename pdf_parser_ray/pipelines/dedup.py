@@ -641,6 +641,53 @@ def url_dedup(sf_dir: str):
     )
 
 
+def url_dedup_windowed(sf_dir: str, window_hours: int = 48):
+    """WINDOWED url dedup: keep the latest crawl per (url, tumbling
+    time window) — the crawl-snapshot semantics CC processing uses
+    (a url re-crawled within the same snapshot window is a duplicate;
+    a re-crawl in a LATER window is a new version that must survive).
+
+    Duplicate rows are synthesized inline so the winner set is
+    oracle-stateable: every 7th doc re-crawled 1 h later (same window
+    -> collapsed) and every 11th doc re-crawled 72 h later (next
+    window -> second output row). Keep-latest per (doc, window) is a
+    native Max aggregate; only (doc_id, window_id, ts_us) rides the
+    shuffle."""
+    from ray.data.aggregate import Max
+
+    from ..sources.synth import read_pages
+
+    pages = read_pages(sf_dir, columns=["url", "warc_ts"])
+    window_us = window_hours * 3_600_000_000
+
+    def with_recrawls(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        ts = t["warc_ts"].cast(pa.int64()).to_pylist()
+        ids = [int(u.rsplit("/", 1)[1]) for u in urls]
+        out_i, out_t = list(ids), list(ts)
+        for i, s in zip(ids, ts):
+            if i % 7 == 0:
+                out_i.append(i)
+                out_t.append(s + 3_600_000_000)  # 1h: same window
+            if i % 11 == 0:
+                out_i.append(i)
+                out_t.append(s + 72 * 3_600_000_000)  # 72h: next window
+        tt = np.asarray(out_t, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_i, pa.int64()),
+                "window_id": pa.array(tt // window_us),
+                "ts_us": pa.array(tt),
+            }
+        )
+
+    return (
+        pages.map_batches(with_recrawls, batch_format="pyarrow")
+        .groupby(["doc_id", "window_id"])
+        .aggregate(Max("ts_us", alias_name="ts_us"))
+    )
+
+
 def label_propagation_clusters(pairs_ds, max_rounds: int = 50):
     """Distributed connected components by iterative min-label
     propagation over a pairs Dataset (columns ``a``, ``b``): returns a

@@ -153,3 +153,19 @@ def test_quality_classifier_hand_case(ray_session, tmp_path):
     # doc 1: chars=161, tokens=41, stop=40, punct=0 -> 161+820+2000=2981
     assert got.loc[1, "score"] == 2981
     assert got.loc[1, "kept"] == int(2981 >= QC_THRESHOLD)
+
+
+def test_url_dedup_windowed_semantics(ray_session):
+    from pdf_parser_ray.pipelines import dedup
+
+    sf = "/root/testdata/sf0.001"
+    got = dedup.url_dedup_windowed(sf).to_pandas()
+    per_doc = got.groupby("doc_id").size()
+    # every 11th doc re-crawls 72h later -> lands in a LATER 48h window
+    # and must survive as a second row; everyone else collapses to one
+    assert (per_doc[per_doc.index % 11 == 0] == 2).all()
+    assert (per_doc[per_doc.index % 11 != 0] == 1).all()
+    # the 1h re-crawl (every 7th doc) stays in-window: its LATER ts wins
+    base = 1704067200000000
+    row = got[(got["doc_id"] == 7)].sort_values("window_id").iloc[0]
+    assert row["ts_us"] == base + 7 * 1_000_000 + 3_600_000_000
