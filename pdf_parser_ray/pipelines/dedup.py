@@ -57,8 +57,20 @@ def mutate_text(t: str) -> str:
     return " ".join(words)
 
 
+def dup_copy_mask(ids: "np.ndarray") -> "np.ndarray":
+    """True where this doc_id gets a ``+ DUP_OFFSET`` copy in the
+    synthetic dup corpus. SINGLE source of truth for the copy rule:
+    ``with_mutated_copies`` emits the copies and
+    ``near_dedup_survivors`` derives the id universe from it — editing
+    the rule in one place keeps the pair finder, the survivor set and
+    the SQL oracles in sync."""
+    ids = np.asarray(ids, dtype=np.int64)
+    return (ids % 10 == 0) | (ids % 10 == 5)
+
+
 def with_mutated_copies(batch: pa.Table) -> pa.Table:
-    """documents batch -> batch + duplicate copies:
+    """documents batch -> batch + duplicate copies (membership rule =
+    ``dup_copy_mask``):
 
     - ``doc_id % 10 == 0``: NEAR-dup copy (mutate_text, shingle
       Jaccard ~0.9) with doc_id + DUP_OFFSET
@@ -67,13 +79,11 @@ def with_mutated_copies(batch: pa.Table) -> pa.Table:
     ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
     add_ids, add_texts = [], []
-    for i, t in zip(ids, texts):
-        if i % 10 == 0:
-            add_ids.append(i + DUP_OFFSET)
-            add_texts.append(mutate_text(t))
-        elif i % 10 == 5:
-            add_ids.append(i + DUP_OFFSET)
-            add_texts.append(t)
+    for i, t, m in zip(ids, texts, dup_copy_mask(ids)):
+        if not m:
+            continue
+        add_ids.append(i + DUP_OFFSET)
+        add_texts.append(mutate_text(t) if i % 10 == 0 else t)
     return pa.table(
         {
             "doc_id": pa.array(ids + add_ids, type=pa.int64()),
@@ -87,6 +97,20 @@ def dup_corpus(sf_dir: str):
 
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(with_mutated_copies, batch_format="pyarrow")
+
+
+def staged_dup_corpus(sf_dir: str):
+    """The dup corpus staged to a write-once parquet cache (keyed on
+    the documents-table fingerprint) and re-read lazily: the
+    multi-consumer passes of the near-dup family (banding + payload
+    fetch) each STREAM it from disk instead of pinning a second copy
+    of the corpus in the object store. See pipelines/staging.py for
+    the fleet-scale placement contract."""
+    from .staging import stage_keyed
+
+    return stage_keyed(
+        "dup_corpus", _p(sf_dir, "documents"), lambda: dup_corpus(sf_dir)
+    )
 
 
 # -- exact dedup --
@@ -546,13 +570,11 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5, n_buckets: int | None
     exact-Jaccard verify where each pair's two shingle sets meet.
     ``n_buckets`` scales with cluster size at fleet scale.
 
-    The corpus is scanned ONCE: ``materialize()`` pins the mutated
-    corpus blocks in the distributed object store (spill-backed) so the
-    banding pass and the payload pass share them instead of re-reading
-    + re-synthesizing the input. At fleet scale, stage to partitioned
-    parquet instead (see extract_pipeline.stage_pages) if the corpus
-    exceeds aggregate object-store + spill capacity."""
-    corpus = dup_corpus(sf_dir).materialize()
+    The mutated corpus is SYNTHESIZED once: ``staged_dup_corpus``
+    writes it to a keyed parquet cache, and the banding pass and the
+    payload pass each stream it from disk — nothing corpus-sized is
+    ever pinned in the object store or resident on the driver."""
+    corpus = staged_dup_corpus(sf_dir)
     banded = corpus.map_batches(
         MinHashStage,
         batch_format="pyarrow",
@@ -562,16 +584,18 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5, n_buckets: int | None
     # a pair can surface from bands in different shuffle buckets; its
     # global dedup is FREE downstream (all copies co-locate in the
     # attach doc-bucket group and drop_duplicates there — no extra
-    # all-to-all over the candidate set). materialize() pins the
-    # candidate (a, b) id rows in the DISTRIBUTED object store
-    # (16 B/row, a vanishing fraction of the corpus — never driver
-    # memory) and splits the plan so the minhash pool and the verify
-    # shuffle don't hold resources concurrently (which starves small
-    # clusters outright).
-    uniq = (
-        banded.groupby("bucket")
-        .map_groups(_bucket_candidate_pairs, batch_format="pandas")
-        .materialize()
+    # all-to-all over the candidate set). stage_run_scoped lands the
+    # candidate (a, b) id rows (16 B/row) on disk and splits the plan
+    # so the minhash pool and the verify shuffle don't hold resources
+    # concurrently (which starves small clusters outright) — same
+    # plan-split as materialize(), zero object-store pin.
+    from .staging import stage_run_scoped
+
+    uniq = stage_run_scoped(
+        banded.groupby("bucket").map_groups(
+            _bucket_candidate_pairs, batch_format="pandas"
+        ),
+        "minhash_cand",
     )
 
     def text_payloads(t: pa.Table) -> pa.Table:
@@ -987,10 +1011,11 @@ def near_dedup_survivors(sf_dir: str, threshold: float = 0.5, n_buckets: int | N
 
     def corpus_ids(t: pa.Table) -> pa.Table:
         # the dup-corpus id set is derivable from doc_id alone (base
-        # ids + offset copies for %10 in {0,5}) — never re-synthesize
-        # the mutated text just to drop it
+        # ids + offset copies per dup_copy_mask — the SAME rule
+        # with_mutated_copies applies) — never re-synthesize the
+        # mutated text just to drop it
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        extra = ids[(ids % 10 == 0) | (ids % 10 == 5)] + DUP_OFFSET
+        extra = ids[dup_copy_mask(ids)] + DUP_OFFSET
         return pa.table({"doc_id": pa.array(np.concatenate([ids, extra]))})
 
     import ray.data

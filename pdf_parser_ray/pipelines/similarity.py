@@ -424,6 +424,23 @@ class HyperplaneBucketizer:
         )
 
 
+def _staged_noisy_corpus(sf_dir: str):
+    """The noisy-copy embedding corpus staged to a write-once keyed
+    parquet cache (multi-consumer plans re-read it lazily instead of
+    pinning the vectors in the object store)."""
+    import ray.data
+
+    from .staging import stage_keyed
+
+    return stage_keyed(
+        "noisy_vecs",
+        _p(sf_dir),
+        lambda: ray.data.read_parquet(_p(sf_dir)).map_batches(
+            with_noisy_copies, batch_format="pyarrow"
+        ),
+    )
+
+
 def _pack_payloads(base):
     """(doc_id, payload: binary) — the float64 vector bytes packed into
     a binary column (Arrow shuffles/joins reject list<> payloads);
@@ -453,9 +470,9 @@ def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int 
     planted corpus (cos ~0.9999) it recovers the exact variant's pair
     set, which is the oracle.
 
-    Single scan: the noisy-copy corpus is materialized once (object
-    store, spill-backed) and shared by the bucketing and payload
-    passes."""
+    The noisy-copy corpus is synthesized once into a keyed parquet
+    cache and STREAMED from disk by the bucketing and payload passes —
+    no corpus-sized object-store pin (see pipelines/staging.py)."""
     import ray.data
 
     from .dedup import (
@@ -464,11 +481,7 @@ def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int 
         coarse_buckets as _coarse_buckets,
     )
 
-    base = (
-        ray.data.read_parquet(_p(sf_dir))
-        .map_batches(with_noisy_copies, batch_format="pyarrow")
-        .materialize()
-    )
+    base = _staged_noisy_corpus(sf_dir)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         from .dedup import MAX_BAND_MEMBERS, _log_band_drops
@@ -496,8 +509,11 @@ def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int 
 
     # plan split before the verify shuffle (see dedup.py); cross-table
     # candidate dedup is free downstream — all copies of a pair
-    # co-locate in the attach doc-bucket group and dedupe locally
-    uniq = (
+    # co-locate in the attach doc-bucket group and dedupe locally.
+    # Candidate ids land on disk (stage_run_scoped), not in the store.
+    from .staging import stage_run_scoped
+
+    uniq = stage_run_scoped(
         base.map_batches(
             HyperplaneBucketizer,
             batch_format="pyarrow",
@@ -505,8 +521,8 @@ def lsh_bucketed_dup_pairs(sf_dir: str, threshold: float = 0.999, n_tables: int 
             fn_constructor_args=(n_tables, n_bits, seed, _coarse_buckets()),
         )
         .groupby("shuffle_bucket")
-        .map_groups(pairs, batch_format="pandas")
-        .materialize()
+        .map_groups(pairs, batch_format="pandas"),
+        "lsh_cand",
     )
 
     sided = _cogroup_pair_payloads(uniq, _pack_payloads(base))

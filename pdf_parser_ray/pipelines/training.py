@@ -736,25 +736,17 @@ def pack_sequences(
 
 
 def _stage_counts(ds, tag: str):
-    """Stage a fixed-width intermediate to /tmp parquet and re-read it:
-    the multi-consumer alternative to ``materialize()`` whose footprint
-    is disk, not object store (the hive-staging idea from
-    extract_pipeline.stage_pages, minus the unit grid). Empty datasets
-    write no files (Ray quirk) — fall back to materialize(), which is
-    free at size zero. Blocks come back as Arrow; downstream unions
-    convert to pandas where block-type mixing matters."""
-    import tempfile
+    """Stage a fixed-width intermediate to parquet and re-read it: the
+    multi-consumer alternative to ``materialize()`` whose footprint is
+    disk, not object store. Delegates to staging.stage_run_scoped
+    (shared-storage placement contract + removal at process exit live
+    there). Blocks come back as Arrow; the pandas-identity hop matters
+    because _pack_tokds unions tokds with pandas-block offset rows,
+    and mixing arrow/pandas block types breaks the sort-boundary
+    sampler."""
+    from .staging import stage_run_scoped
 
-    import ray.data
-
-    d = tempfile.mkdtemp(prefix=f"graft_stage_{tag}_")
-    ds.write_parquet(d)
-    if not any(f.endswith(".parquet") for f in os.listdir(d)):
-        return ds.materialize()
-    # pandas-identity hop: _pack_tokds unions tokds with pandas-block
-    # offset rows, and mixing arrow/pandas block types breaks the
-    # sort-boundary sampler
-    return ray.data.read_parquet(d).map_batches(
+    return stage_run_scoped(ds, tag).map_batches(
         lambda df: df, batch_format="pandas"
     )
 
