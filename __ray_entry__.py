@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier_score": textstats.quality_classifier_score,
         "url_dedup_windowed": dedup.url_dedup_windowed,
         # -- new this round --
+        "audio_meta_ext": multimodal.audio_meta_ext,
+        "gif_interlaced_meta": multimodal.gif_interlaced_meta,
         # -- driver-snapshotted green in r3+r4 --
         # flagship composite: extract -> quality filter -> dedup
         "curation_pipeline": curation_pipeline,
@@ -1602,6 +1604,78 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM wav_rows UNION ALL SELECT * FROM mp3_rows
         """,
+        # MPEG version/layer matrix: every parameter is doc_id
+        # arithmetic and the bitrates {32,64,96,128,160} exist in all
+        # five ISO tables, so the oracle needs no table lookups. The
+        # frame-length/padding/samples-per-frame formulas restate ISO
+        # 11172-3 / 13818-3 exactly as pdfcore/mp3.py implements them.
+        "audio_meta_ext": """
+            WITH p AS (
+              SELECT doc_id,
+                     doc_id % 3 AS vi,
+                     1 + (doc_id // 3) % 3 AS layer,
+                     (doc_id // 9) % 3 AS ri,
+                     1 + doc_id % 2 AS ch,
+                     8 + doc_id % 16 AS nf,
+                     CASE (doc_id // 2) % 5 WHEN 0 THEN 32 WHEN 1 THEN 64
+                          WHEN 2 THEN 96 WHEN 3 THEN 128 ELSE 160 END AS br
+              FROM documents
+            ),
+            q AS (
+              SELECT *,
+                     CASE vi WHEN 0 THEN '1' WHEN 1 THEN '2' ELSE '2.5' END
+                       AS mpeg_version,
+                     CASE vi
+                       WHEN 0 THEN CASE ri WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+                       WHEN 1 THEN CASE ri WHEN 0 THEN 22050 WHEN 1 THEN 24000 ELSE 16000 END
+                       ELSE CASE ri WHEN 0 THEN 11025 WHEN 1 THEN 12000 ELSE 8000 END
+                     END AS rate,
+                     CASE layer WHEN 1 THEN 384 WHEN 2 THEN 1152
+                          ELSE CASE vi WHEN 0 THEN 1152 ELSE 576 END END AS spf
+              FROM p
+            ),
+            r AS (
+              SELECT *,
+                     CASE layer
+                       WHEN 1 THEN (12 * br * 1000 // rate) * 4
+                       WHEN 2 THEN 144 * br * 1000 // rate
+                       ELSE (CASE vi WHEN 0 THEN 144 ELSE 72 END) * br * 1000 // rate
+                     END AS base,
+                     CASE layer WHEN 1 THEN 4 ELSE 1 END AS pad_unit
+              FROM q
+            )
+            SELECT doc_id,
+                   mpeg_version,
+                   CAST(layer AS BIGINT) AS layer,
+                   CAST(rate AS BIGINT) AS sample_rate,
+                   CAST(ch AS BIGINT) AS n_channels,
+                   CAST(nf AS BIGINT) AS n_frames,
+                   CAST(nf * spf * 1000 // rate AS BIGINT) AS duration_ms,
+                   CAST(nf * base + (nf // 2) * pad_unit AS BIGINT) AS stream_bytes
+            FROM r
+        """,
+        # interlaced GIF: position-weighted pixel checksum (order-
+        # sensitive — a wrong de-interlace row order changes it)
+        "gif_interlaced_meta": """
+            WITH dims AS (
+              SELECT doc_id,
+                     8 + doc_id % 8 AS w,
+                     8 + doc_id % 16 AS h
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, w, h,
+                     unnest(generate_series(0, w * h - 1)) AS p
+              FROM dims
+            )
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(SUM((p + 1) * ((7 * doc_id + 13 * p) % 256)) AS BIGINT)
+                     AS px_wsum
+            FROM px
+            GROUP BY doc_id, w, h
+        """,
         # exact-substring span removal: dup 8-gram sites merged into
         # maximal spans via gaps-and-islands windows
         "dup_span_removal": """
@@ -1950,7 +2024,10 @@ def oracle_sql() -> dict[str, str]:
             crawls AS (
               SELECT doc_id, ts FROM base
               UNION ALL
-              SELECT doc_id, ts + 3600000000 FROM base WHERE doc_id % 7 = 0
+              SELECT doc_id,
+                     LEAST(ts + 3600000000,
+                           (ts // 172800000000 + 1) * 172800000000 - 1)
+              FROM base WHERE doc_id % 7 = 0
               UNION ALL
               SELECT doc_id, ts + 259200000000 FROM base WHERE doc_id % 11 = 0
             )

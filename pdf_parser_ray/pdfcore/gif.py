@@ -1,10 +1,17 @@
 """Minimal GIF codec (spec-derived: GIF89a specification), pure Python.
 
 Closes the multimodal decode gap for ``image/gif`` payloads. Scope:
-single-image, non-interlaced GIFs with a global (or local) color
-table; extensions are skipped. GIF's LZW is a DIFFERENT dialect from
-the PDF LZWDecode in ``filters.py`` — variable code width packed
-LSB-first with in-stream Clear/End codes — so it lives here.
+single- and multi-image GIFs with a global (or local) color table,
+interlaced or not; sub-rectangle frames composite onto a logical-
+screen canvas (replace semantics — GCE disposal methods are ignored,
+which matches disposal 0/1; frames that rely on disposal 2/3 will
+show stale pixels). Extensions are otherwise skipped. Compositing
+assumes frames share one effective color table (true for every GIF
+this engine synthesizes and the overwhelmingly common case); a later
+frame's local table simply becomes the reported palette. GIF's LZW is
+a DIFFERENT dialect from the PDF LZWDecode in ``filters.py`` —
+variable code width packed LSB-first with in-stream Clear/End codes —
+so it lives here.
 """
 
 from __future__ import annotations
@@ -14,6 +21,11 @@ import struct
 
 class GifError(Exception):
     pass
+
+
+# canvas allocation cap (pixels): far above any synthesized or sane
+# web GIF, far below a corrupt-header 65535x65535 = 4 GB allocation
+MAX_CANVAS_PIXELS = 1 << 26
 
 
 def _lzw_encode_gif(data: bytes, min_code_size: int) -> bytes:
@@ -150,10 +162,37 @@ def _blocks(data: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_gif(indices: bytes, width: int, height: int, palette: bytes) -> bytes:
+def _interlace_order(height: int) -> list[int]:
+    """GIF89a four-pass interlace row order: the n-th row of the
+    stored data lands on canvas row ``order[n]``."""
+    return (
+        list(range(0, height, 8))
+        + list(range(4, height, 8))
+        + list(range(2, height, 4))
+        + list(range(1, height, 2))
+    )
+
+
+def _deinterlace(indices: bytes, width: int, height: int) -> bytes:
+    out = bytearray(len(indices))
+    for n, dst in enumerate(_interlace_order(height)):
+        out[dst * width : (dst + 1) * width] = indices[
+            n * width : (n + 1) * width
+        ]
+    return bytes(out)
+
+
+def encode_gif(
+    indices: bytes,
+    width: int,
+    height: int,
+    palette: bytes,
+    interlace: bool = False,
+) -> bytes:
     """Single-frame GIF89a with a 256-entry global color table.
-    ``indices`` are palette indices (one byte per pixel); ``palette``
-    is 768 bytes of RGB triples."""
+    ``indices`` are palette indices (one byte per pixel, row-major);
+    ``palette`` is 768 bytes of RGB triples. ``interlace`` stores the
+    rows in the spec's four-pass order with the interlace flag set."""
     if len(palette) != 768:
         raise GifError("palette must be 256 RGB entries (768 bytes)")
     if len(indices) != width * height:
@@ -162,8 +201,15 @@ def encode_gif(indices: bytes, width: int, height: int, palette: bytes) -> bytes
     # logical screen descriptor: GCT flag, 8-bit color, GCT size 256
     out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
     out += palette
-    # image descriptor, no local color table, no interlace
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    # image descriptor, no local color table
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+    )
+    if interlace:
+        indices = b"".join(
+            indices[r * width : (r + 1) * width]
+            for r in _interlace_order(height)
+        )
     out.append(8)  # LZW minimum code size
     out += _blocks(_lzw_encode_gif(indices, 8))
     out += b"\x3b"
@@ -203,7 +249,8 @@ def encode_gif_animation(
 
 def decode_gif(data: bytes) -> tuple[int, int, bytes, bytes]:
     """-> (width, height, palette(768 or local size*3), index bytes)
-    of the FIRST image. Raises GifError on corrupt/unsupported data."""
+    of the logical-screen canvas after the FIRST image block. Raises
+    GifError on corrupt/unsupported data."""
     w, h, palette, frames = decode_gif_frames(data, max_frames=1)
     return w, h, palette, frames[0]
 
@@ -211,15 +258,20 @@ def decode_gif(data: bytes) -> tuple[int, int, bytes, bytes]:
 def decode_gif_frames(
     data: bytes, max_frames: int | None = None
 ) -> tuple[int, int, bytes, list[bytes]]:
-    """-> (width, height, palette, [frame index bytes, ...]) for ALL
-    image blocks (or the first ``max_frames``). Frame dimensions come
-    from the first image descriptor; a local color table overrides the
-    global one. Raises GifError on corrupt/unsupported data."""
+    """-> (screen_width, screen_height, palette, [frame index bytes,
+    ...]) for ALL image blocks (or the first ``max_frames``). Every
+    frame is a full logical-screen canvas snapshot: sub-rectangle
+    frames (valid and common in GIF89a animations) composite onto the
+    previous canvas at their (left, top) offset with replace
+    semantics; the initial canvas is the background color index (0
+    without a global table). Interlaced image data is de-interlaced.
+    A local color table overrides the global one in the returned
+    palette. Raises GifError on corrupt/unsupported data."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifError("bad signature")
     if len(data) < 13:
         raise GifError("truncated header")
-    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     palette = b""
     if flags & 0x80:
@@ -228,8 +280,12 @@ def decode_gif_frames(
         if len(palette) != size:
             raise GifError("truncated global color table")
         pos += size
+    if sw * sh > MAX_CANVAS_PIXELS:
+        # decoder-side allocation guard: a corrupt 2-byte screen
+        # descriptor must not make us allocate a 4 GB canvas
+        raise GifError(f"logical screen {sw}x{sh} exceeds decoder cap")
+    canvas = bytearray([bg if flags & 0x80 else 0]) * (sw * sh)
     frames: list[bytes] = []
-    fw = fh = 0
     while pos < len(data):
         block = data[pos]
         pos += 1
@@ -245,10 +301,13 @@ def decode_gif_frames(
             raise GifError(f"unexpected block 0x{block:02x}")
         if pos + 9 > len(data):
             raise GifError("truncated image descriptor")
-        _lx, _ty, width, height, iflags = struct.unpack_from("<HHHHB", data, pos)
+        lx, ty, width, height, iflags = struct.unpack_from("<HHHHB", data, pos)
         pos += 9
-        if iflags & 0x40:
-            raise GifError("interlaced GIFs unsupported")
+        if lx + width > sw or ty + height > sh:
+            raise GifError(
+                f"frame rect {width}x{height}+{lx}+{ty} exceeds "
+                f"logical screen {sw}x{sh}"
+            )
         if iflags & 0x80:  # local color table wins
             size = 3 * (2 << (iflags & 0x07))
             palette = data[pos : pos + size]
@@ -279,18 +338,14 @@ def decode_gif_frames(
             raise GifError(
                 f"decoded {len(indices)} pixels for {width}x{height}"
             )
-        if not frames:
-            fw, fh = width, height
-        elif (width, height) != (fw, fh):
-            # the decoder has no compositing canvas: every frame must
-            # cover the same full-frame rect, or callers would see
-            # inconsistent frame lengths silently
-            raise GifError(
-                f"frame {len(frames)} is {width}x{height}, first frame {fw}x{fh}"
-            )
-        frames.append(indices)
+        if iflags & 0x40:
+            indices = _deinterlace(indices, width, height)
+        for r in range(height):
+            dst = (ty + r) * sw + lx
+            canvas[dst : dst + width] = indices[r * width : (r + 1) * width]
+        frames.append(bytes(canvas))
         if max_frames is not None and len(frames) >= max_frames:
-            return fw, fh, palette, frames
+            return sw, sh, palette, frames
     if not frames:
         raise GifError("no image block")
-    return fw, fh, palette, frames
+    return sw, sh, palette, frames

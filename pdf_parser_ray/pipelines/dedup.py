@@ -672,11 +672,14 @@ def url_dedup_windowed(sf_dir: str, window_hours: int = 48):
     a re-crawl in a LATER window is a new version that must survive).
 
     Duplicate rows are synthesized inline so the winner set is
-    oracle-stateable: every 7th doc re-crawled 1 h later (same window
-    -> collapsed) and every 11th doc re-crawled 72 h later (next
-    window -> second output row). Keep-latest per (doc, window) is a
-    native Max aggregate; only (doc_id, window_id, ts_us) rides the
-    shuffle."""
+    oracle-stateable: every 7th doc re-crawled ~1 h later — CLAMPED to
+    its window's last microsecond so the re-crawl provably lands in
+    the SAME window (collapsed) even for docs whose base ts falls
+    within 1 h of a window boundary — and every 11th doc re-crawled
+    72 h later (a LATER window -> second output row; 72 h > the 48 h
+    window guarantees a different window regardless of phase).
+    Keep-latest per (doc, window) is a native Max aggregate; only
+    (doc_id, window_id, ts_us) rides the shuffle."""
     from ray.data.aggregate import Max
 
     from ..sources.synth import read_pages
@@ -692,10 +695,12 @@ def url_dedup_windowed(sf_dir: str, window_hours: int = 48):
         for i, s in zip(ids, ts):
             if i % 7 == 0:
                 out_i.append(i)
-                out_t.append(s + 3_600_000_000)  # 1h: same window
+                # ~1h later, clamped inside the base ts's window
+                wend = (s // window_us + 1) * window_us - 1
+                out_t.append(min(s + 3_600_000_000, wend))
             if i % 11 == 0:
                 out_i.append(i)
-                out_t.append(s + 72 * 3_600_000_000)  # 72h: next window
+                out_t.append(s + 72 * 3_600_000_000)  # 72h: later window
         tt = np.asarray(out_t, np.int64)
         return pa.table(
             {

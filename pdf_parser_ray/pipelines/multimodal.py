@@ -269,7 +269,10 @@ class GifFrameSampler:
             ]
             gif = encode_gif_animation(frames, 8, 8, self.palette)
             w, h, _pal, decoded = decode_gif_frames(gif)
-            assert (w, h, len(decoded)) == (8, 8, n_frames)
+            if (w, h, len(decoded)) != (8, 8, n_frames):
+                # explicit raise (assert strips under -O): a roundtrip
+                # mismatch is codec corruption, never a data condition
+                raise ValueError(f"gif roundtrip mismatch for doc {d}")
             for f in range(0, n_frames, self.stride):
                 ids.append(d)
                 fidx.append(f)
@@ -335,11 +338,16 @@ class AudioMetaSampler:
                 nf = 16 + d % 32
                 br = (96, 128, 160, 192)[(d // 3) % 4]
                 meta = decode_mp3_meta(encode_mp3(nf, br, rate, ch, seed=d))
-                assert (
-                    meta["sample_rate"],
-                    meta["channels"],
-                    meta["n_frames"],
-                ) == (rate, ch, nf)
+                got = (meta["sample_rate"], meta["channels"], meta["n_frames"])
+                if got != (rate, ch, nf):
+                    # explicit raise (not assert: stripped under -O and
+                    # an AssertionError would bypass the stage's error
+                    # semantics) — a roundtrip mismatch is codec
+                    # corruption, never a data condition
+                    raise ValueError(
+                        f"mp3 roundtrip mismatch for doc {d}: "
+                        f"{got} != {(rate, ch, nf)}"
+                    )
                 ids.append(d)
                 rates.append(meta["sample_rate"])
                 chs.append(meta["channels"])
@@ -356,7 +364,8 @@ class AudioMetaSampler:
             ]
             wav = encode_wav(vals, ch, rate)
             got_rate, got_ch, _w, got_vals = decode_wav_samples(wav)
-            assert (got_rate, got_ch, got_vals) == (rate, ch, vals)
+            if (got_rate, got_ch, got_vals) != (rate, ch, vals):
+                raise ValueError(f"wav roundtrip mismatch for doc {d}")
             ids.append(d)
             rates.append(got_rate)
             chs.append(got_ch)
@@ -388,4 +397,137 @@ def audio_meta(sf_dir: str):
     )
     return ds.map_batches(
         AudioMetaSampler, batch_format="pyarrow", batch_size=128, concurrency=default_concurrency()
+    )
+
+
+class AudioMetaExtSampler:
+    """MPEG version/layer MATRIX decode stage (actor pool): every doc
+    carries a deterministic CBR stream cycling through MPEG-1/2/2.5 x
+    Layer I/II/III (pdfcore/mp3.py full header walk: version-dependent
+    sample-rate tables, layer-dependent frame-length and padding
+    arithmetic — one BYTE for Layers II/III, one 4-byte SLOT for
+    Layer I, halved Layer III frames for MPEG-2/2.5).
+
+    Parameters are derived from doc_id so the DuckDB oracle can
+    restate every output column as arithmetic; the bitrates used
+    ({32, 64, 96, 128, 160} kbps) are deliberately the values present
+    in ALL five ISO bitrate tables, so the oracle needs no table."""
+
+    _VERSIONS = ("1", "2", "2.5")
+    _RATES = {
+        "1": (44100, 48000, 32000),
+        "2": (22050, 24000, 16000),
+        "2.5": (11025, 12000, 8000),
+    }
+    _BRS = (32, 64, 96, 128, 160)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.mp3 import decode_mp3_meta, encode_mp3
+
+        ids, vers, lays, rates, chs, nfs, durs, sbs = [], [], [], [], [], [], [], []
+        for d in batch["doc_id"].to_pylist():
+            version = self._VERSIONS[d % 3]
+            layer = 1 + (d // 3) % 3
+            rate = self._RATES[version][(d // 9) % 3]
+            ch = 1 + d % 2
+            nf = 8 + d % 16
+            br = self._BRS[(d // 2) % 5]
+            meta = decode_mp3_meta(
+                encode_mp3(nf, br, rate, ch, seed=d, version=version, layer=layer)
+            )
+            got = (meta["version"], meta["layer"], meta["sample_rate"],
+                   meta["channels"], meta["n_frames"])
+            if got != (version, layer, rate, ch, nf):
+                raise ValueError(
+                    f"mpeg roundtrip mismatch for doc {d}: {got}"
+                )
+            ids.append(d)
+            vers.append(version)
+            lays.append(layer)
+            rates.append(rate)
+            chs.append(ch)
+            nfs.append(nf)
+            durs.append(meta["duration_ms"])
+            sbs.append(meta["stream_bytes"])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "mpeg_version": pa.array(vers, pa.string()),
+                "layer": pa.array(lays, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int64()),
+                "n_channels": pa.array(chs, pa.int64()),
+                "n_frames": pa.array(nfs, pa.int64()),
+                "duration_ms": pa.array(durs, pa.int64()),
+                "stream_bytes": pa.array(sbs, pa.int64()),
+            }
+        )
+
+
+def audio_meta_ext(sf_dir: str):
+    """MPEG-2/2.5 + Layer I/II/III metadata walk over the documents
+    table (doc_id-only pruned read; payloads synthesized in-stage)."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return ds.map_batches(
+        AudioMetaExtSampler, batch_format="pyarrow", batch_size=128,
+        concurrency=default_concurrency(),
+    )
+
+
+class GifInterlacedMeta:
+    """Interlaced-GIF decode stage (actor pool): each doc's payload is
+    encoded with the GIF89a four-pass interlace row order and decoded
+    back through the de-interlacer. The output checksum is POSITION-
+    WEIGHTED (``sum((p+1) * idx[p])``) so a wrong row-reassembly order
+    changes the value — a plain pixel sum would pass regardless of
+    row order. Identity palette built once per actor."""
+
+    def __init__(self):
+        self.palette = bytes(bytearray(v for i in range(256) for v in (i, i, i)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.gif import decode_gif, encode_gif
+
+        ids, ws, hs, sums = [], [], [], []
+        for d in batch["doc_id"].to_pylist():
+            w = 8 + d % 8
+            h = 8 + d % 16
+            idx = bytes((7 * d + 13 * p) % 256 for p in range(w * h))
+            gw, gh, _pal, got = decode_gif(
+                encode_gif(idx, w, h, self.palette, interlace=True)
+            )
+            if (gw, gh) != (w, h):
+                raise ValueError(f"gif dims mismatch for doc {d}")
+            ids.append(d)
+            ws.append(w)
+            hs.append(h)
+            sums.append(sum((p + 1) * v for p, v in enumerate(got)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "px_wsum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def gif_interlaced_meta(sf_dir: str):
+    """Interlaced-GIF decode + position-weighted checksum over the
+    documents table (doc_id-only pruned read)."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return ds.map_batches(
+        GifInterlacedMeta, batch_format="pyarrow", batch_size=128,
+        concurrency=default_concurrency(),
     )

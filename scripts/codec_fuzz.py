@@ -29,7 +29,9 @@ from pdf_parser_ray.pdfcore.gif import (  # noqa: E402
     encode_gif_animation,
 )
 from pdf_parser_ray.pdfcore.mp3 import (  # noqa: E402
+    SAMPLE_RATES_BY_VERSION,
     Mp3Error,
+    _bitrate_table,
     decode_mp3_meta,
     encode_mp3,
 )
@@ -92,7 +94,7 @@ def main() -> int:
             w, h = rng.randint(1, 12), rng.randint(1, 12)
             idx = bytes(rng.randrange(256) for _ in range(w * h))
             palette = bytes(rng.randrange(256) for _ in range(768))
-            gif = encode_gif(idx, w, h, palette)
+            gif = encode_gif(idx, w, h, palette, interlace=rng.random() < 0.5)
             gw, gh, gpal, gidx = decode_gif(gif)
             assert (gw, gh, bytes(gidx)) == (w, h, idx), f"gif mismatch i={i}"
             counts["gif"] += 1
@@ -100,16 +102,22 @@ def main() -> int:
             decode = decode_gif
         elif kind == 4:
             nf = rng.randint(1, 24)
-            br = rng.choice((32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))
-            rate = rng.choice((44100, 48000, 32000))
+            version = rng.choice(("1", "2", "2.5"))
+            layer = rng.randint(1, 3)
+            br = rng.choice([b for b in _bitrate_table(version, layer) if b])
+            rate = rng.choice(SAMPLE_RATES_BY_VERSION[version][:3])
             ch = rng.choice((1, 2))
             tag = bytes(rng.randrange(256) & 0x7F for _ in range(rng.randint(0, 32)))
-            m = encode_mp3(nf, br, rate, ch, seed=i, id3_payload=tag)
+            m = encode_mp3(
+                nf, br, rate, ch, seed=i, id3_payload=tag,
+                version=version, layer=layer,
+            )
             meta = decode_mp3_meta(m)
             assert (
+                meta["version"], meta["layer"],
                 meta["sample_rate"], meta["channels"],
                 meta["bitrate_kbps"], meta["n_frames"],
-            ) == (rate, ch, br, nf), f"mp3 mismatch i={i}"
+            ) == (version, layer, rate, ch, br, nf), f"mp3 mismatch i={i}"
             counts["mp3"] += 1
             payload, err = m, Mp3Error
             decode = decode_mp3_meta

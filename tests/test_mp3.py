@@ -32,6 +32,8 @@ def test_roundtrip_matrix():
                     meta = decode_mp3_meta(m)
                     base = 144 * br * 1000 // rate
                     assert meta == {
+                        "version": "1",
+                        "layer": 3,
                         "sample_rate": rate,
                         "channels": ch,
                         "bitrate_kbps": br,
@@ -65,11 +67,14 @@ def test_strict_walk_errors():
         decode_mp3_meta(b"ID3" + bytes((3, 0, 0)) + bytes(4))
     with pytest.raises(Mp3Error, match="frame sync"):
         decode_mp3_meta(bytes(16))
-    # flip version bits to MPEG-2
+    # flip the FIRST frame's version bits to MPEG-2: it then claims a
+    # different sample rate + frame length, so the walk desyncs on the
+    # (still MPEG-1) second frame — strictness now comes from the
+    # exact length arithmetic, not a version whitelist
     b = bytearray(m)
     start = 10  # empty ID3v2 tag
     b[start + 1] &= ~0x08
-    with pytest.raises(Mp3Error, match="MPEG-1"):
+    with pytest.raises(Mp3Error, match="frame sync|inconsistent|truncated"):
         decode_mp3_meta(bytes(b))
     # inconsistent stream: second frame with a different bitrate
     m2 = encode_mp3(1, 128, 44100, 2)
@@ -132,3 +137,40 @@ def test_decode_stub_mpeg_arm_is_real():
     assert meta["width"] == 7 and meta["height"] == 1
     with pytest.raises(NotImplementedError, match="mp3 decode failed"):
         decode_stub(b"ID3" + bytes(16), "audio/mpeg")
+
+
+def test_version_layer_matrix_roundtrip():
+    """MPEG-1/2/2.5 x Layer I/II/III: header walk recovers everything,
+    frame-length arithmetic exact (truncation of the last byte raises)."""
+    from pdf_parser_ray.pdfcore.mp3 import (
+        SAMPLE_RATES_BY_VERSION,
+        _bitrate_table,
+        samples_per_frame,
+    )
+
+    for ver in ("1", "2", "2.5"):
+        for lay in (1, 2, 3):
+            tbl = _bitrate_table(ver, lay)
+            for br in (tbl[1], tbl[14]):
+                for sr in SAMPLE_RATES_BY_VERSION[ver][:3]:
+                    m = encode_mp3(3, br, sr, 2, seed=7, version=ver, layer=lay)
+                    meta = decode_mp3_meta(m)
+                    assert (meta["version"], meta["layer"]) == (ver, lay)
+                    assert (meta["sample_rate"], meta["bitrate_kbps"]) == (sr, br)
+                    assert meta["n_frames"] == 3
+                    assert meta["duration_ms"] == (
+                        3 * samples_per_frame(ver, lay) * 1000 // sr
+                    )
+                    with pytest.raises(Mp3Error):
+                        decode_mp3_meta(m[:-1])
+
+
+def test_layer1_padding_is_one_slot():
+    """Layer I padding adds a 4-byte SLOT, not one byte (ISO 11172-3
+    §2.4.3.1) — pad_odd frames must be exactly 4 bytes longer."""
+    from pdf_parser_ray.pdfcore.mp3 import _frame_len
+
+    assert _frame_len("1", 1, 128, 44100, 1) - _frame_len("1", 1, 128, 44100, 0) == 4
+    assert _frame_len("1", 3, 128, 44100, 1) - _frame_len("1", 3, 128, 44100, 0) == 1
+    # MPEG-2 Layer III frames are half the MPEG-1 size
+    assert _frame_len("2", 3, 64, 22050, 0) == 72 * 64000 // 22050

@@ -273,7 +273,29 @@ def test_gif_animation_roundtrip():
     assert len(decode_gif_frames(gif, max_frames=2)[3]) == 2
 
 
-def test_gif_frame_dims_mismatch_rejected():
+def test_gif_subrect_frame_composites_onto_canvas():
+    from pdf_parser_ray.pdfcore.gif import decode_gif_frames, encode_gif
+
+    pal = bytes(bytearray(v for i in range(256) for v in (i, i, i)))
+    g1 = encode_gif(bytes(range(64)), 8, 8, pal)
+    g2 = encode_gif(bytes(16), 4, 4, pal)
+    # splice g2's image block (header 13 B + 768 B global palette)
+    # after g1's, replacing g1's trailer: a second SUB-RECTANGLE frame
+    # (valid GIF89a) must composite onto the 8x8 canvas at (0, 0)
+    assert g2[13 + 768] == 0x2C
+    spliced = g1[:-1] + g2[13 + 768 :]
+    w, h, _pal, frames = decode_gif_frames(spliced)
+    assert (w, h, len(frames)) == (8, 8, 2)
+    assert frames[0] == bytes(range(64))
+    expect = bytearray(range(64))
+    for r in range(4):
+        expect[r * 8 : r * 8 + 4] = bytes(4)
+    assert frames[1] == bytes(expect)
+
+
+def test_gif_oversized_rect_rejected():
+    import struct
+
     import pytest
 
     from pdf_parser_ray.pdfcore.gif import (
@@ -283,15 +305,21 @@ def test_gif_frame_dims_mismatch_rejected():
     )
 
     pal = bytes(bytearray(v for i in range(256) for v in (i, i, i)))
-    g1 = encode_gif(bytes(range(64)), 8, 8, pal)
-    g2 = encode_gif(bytes(16), 4, 4, pal)
-    # splice g2's image block (header 13 B + 768 B global palette)
-    # after g1's, replacing g1's trailer: a second frame with
-    # different dims must raise, not silently emit a short frame
-    assert g2[13 + 768] == 0x2C
-    spliced = g1[:-1] + g2[13 + 768 :]
-    with pytest.raises(GifError, match="first frame"):
-        decode_gif_frames(spliced)
+    g = bytearray(encode_gif(bytes(range(64)), 8, 8, pal))
+    # move the image rect to (6, 0): 6 + 8 > screen width 8
+    struct.pack_into("<HH", g, 13 + 768 + 1, 6, 0)
+    with pytest.raises(GifError, match="exceeds"):
+        decode_gif_frames(bytes(g))
+
+
+def test_gif_interlaced_roundtrip():
+    from pdf_parser_ray.pdfcore.gif import decode_gif, encode_gif
+
+    pal = bytes(bytearray(v for i in range(256) for v in (i, i, i)))
+    for hgt in (1, 2, 5, 8, 9, 31):
+        idx = bytes((x * 13 + 1) % 256 for x in range(11 * hgt))
+        w, h, _p, got = decode_gif(encode_gif(idx, 11, hgt, pal, interlace=True))
+        assert (w, h, got) == (11, hgt, idx)
 
 
 def test_kmv_kth_zero_saturates():
