@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new this round --
         "audio_meta_ext": multimodal.audio_meta_ext,
         "gif_interlaced_meta": multimodal.gif_interlaced_meta,
+        "extract_encrypted_text": multimodal.extract_encrypted_text,
         # -- driver-snapshotted green in r3+r4 --
         # flagship composite: extract -> quality filter -> dedup
         "curation_pipeline": curation_pipeline,
@@ -1653,6 +1654,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nf * spf * 1000 // rate AS BIGINT) AS duration_ms,
                    CAST(nf * base + (nf // 2) * pad_unit AS BIGINT) AS stream_bytes
             FROM r
+        """,
+        # encrypted-PDF roundtrip: the pipeline output must be byte-
+        # identical to the source text regardless of handler profile
+        "extract_encrypted_text": """
+            SELECT doc_id,
+                   text,
+                   CASE doc_id % 3 WHEN 0 THEN 'rc4-40'
+                                   WHEN 1 THEN 'rc4-128'
+                                   ELSE 'aesv2' END AS enc_mode
+            FROM documents
         """,
         # interlaced GIF: position-weighted pixel checksum (order-
         # sensitive — a wrong de-interlace row order changes it)

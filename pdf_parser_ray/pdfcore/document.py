@@ -103,6 +103,8 @@ class PdfDocument:
         self._objstm_cache: dict[int, object] = {}
         self.xref = None
         self._chain = None
+        self.crypt = None
+        self._stream_owner: dict[int, tuple[int, int]] = {}
 
         validate_pdf_header(buf)
 
@@ -136,6 +138,19 @@ class PdfDocument:
                     self, self.trailer.xref_start_offset
                 )
 
+        # standard security handler (/Encrypt): built BEFORE the root
+        # resolve so every stream fetched from here on (content, CMaps,
+        # ObjStm containers, images) decrypts transparently. XRef
+        # streams stay plaintext per spec (chain load above ran with
+        # crypt unset, and _is_unencrypted_stream guards re-reads).
+        enc_obj, file_id0 = self._find_encrypt()
+        if enc_obj is not None:
+            from . import crypt as _crypt
+
+            self.crypt = _crypt.handler_from_encrypt(
+                enc_obj, file_id0, self.resolve
+            )
+
         self.root_ref = root_ref
         root_obj = self.resolve(root_ref)
         root_inner = ensure_iobj(root_obj)[VAL]
@@ -151,6 +166,33 @@ class PdfDocument:
                 raise PageTreeError(
                     f"page numbering is not contiguous at position {i + 1}"
                 )
+
+    def _find_encrypt(self):
+        """Locate /Encrypt + first /ID element across the classic
+        trailer and (for xref-stream / incremental files) every chain
+        section dict, newest first. Returns (encrypt dict object |
+        None, id0 bytes)."""
+        candidates = []
+        if self.trailer is not None and self.trailer.trailer_dict is not None:
+            candidates.append(self.trailer.trailer_dict[VAL])
+        if self._chain is not None:
+            candidates.extend(
+                s.trailer_dict[VAL]
+                for s in self._chain.sections
+                if s.trailer_dict is not None
+            )
+        enc = None
+        id0 = b""
+        for d in candidates:
+            if enc is None and "Encrypt" in d:
+                enc = d["Encrypt"]
+                if enc[TAG] == "ref":
+                    enc = ensure_iobj(self.resolve(enc))[VAL]
+            if not id0 and "ID" in d and d["ID"][TAG] == "array":
+                first = d["ID"][VAL][0] if d["ID"][VAL] else None
+                if first is not None and first[TAG] == "string":
+                    id0 = first[VAL]
+        return enc, id0
 
     # -- indirect-object resolution (V9) --
 
@@ -215,18 +257,38 @@ class PdfDocument:
                 raise
             obj = parser.parse()
             self._obj_cache[key] = obj
+            if self.crypt is not None:
+                # remember which object owns this stream's bytes: the
+                # per-object decryption key needs (num, gen), which the
+                # stream tuple itself does not carry
+                inner = obj[VAL] if obj[TAG] == "iobj" else obj
+                if inner[TAG] == "stream":
+                    self._stream_owner[inner[OFF]] = key
             return obj
 
     # -- stream-body fetch (V10) --
 
     def get_stream_raw(self, stream_obj: tuple) -> bytes:
-        """Undecoded stream bytes; mirrors src/object.rs:527-566."""
+        """Undecoded stream bytes; mirrors src/object.rs:527-566.
+        In an encrypted document the bytes are decrypted here — the
+        single choke point ahead of every consumer (filter chain,
+        image path, ObjStm) — except for XRef streams, which the spec
+        keeps plaintext."""
         length = self._stream_length(stream_obj)
         start = stream_obj[OFF]
         data = self.buf[start : start + length]
         if len(data) != length:
             raise PanicError("cannot read all")
+        if self.crypt is not None:
+            owner = self._stream_owner.get(stream_obj[OFF])
+            if owner is not None and not self._is_unencrypted_stream(stream_obj):
+                data = self.crypt.decrypt(owner[0], owner[1], data)
         return data
+
+    @staticmethod
+    def _is_unencrypted_stream(stream_obj: tuple) -> bool:
+        t = stream_obj[VAL][VAL].get("Type")
+        return t is not None and t[TAG] == "name" and t[VAL] == "XRef"
 
     def _stream_length(self, stream_obj: tuple) -> int:
         length_obj = stream_obj[VAL][VAL]["Length"]

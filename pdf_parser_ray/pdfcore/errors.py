@@ -121,3 +121,13 @@ class TextExtractError(PdfError):
     """Content-stream tokenization / CMap mapping failures (text path)."""
 
     stage = "text"
+
+
+class EncryptionError(PdfError):
+    """Standard-security-handler failures (ISO 32000-1 §7.6): anything
+    outside the supported profile (RC4-40/128, AES-128, empty user
+    password) or a failed authentication. The reference has no
+    encryption support at all, so its behavior on encrypted files is
+    'error somewhere downstream'; this error names the stage."""
+
+    stage = "encrypt"

@@ -16,6 +16,7 @@ Everything here is pure and deterministic — same inputs, same bytes.
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 
 from .filters import lzw_encode, png_predict_up
@@ -46,6 +47,10 @@ class _Writer:
         self.offsets: dict[int, int] = {}
         self.objstm_members: dict[int, tuple[int, int]] = {}
         self.next_num = 1
+        # set by build_text_pdf(encrypt=...): (num, data) -> encrypted
+        # bytes, applied to every stream body except plaintext ones
+        # (the xref stream, which the spec keeps unencrypted)
+        self.encryptor = None
 
     def alloc(self) -> int:
         num = self.next_num
@@ -59,7 +64,10 @@ class _Writer:
         self.pos += len(obj)
 
     def add_stream(self, num: int, dict_extra: bytes, data: bytes,
-                   length_ref: int | None = None) -> None:
+                   length_ref: int | None = None,
+                   plaintext: bool = False) -> int:
+        if self.encryptor is not None and not plaintext:
+            data = self.encryptor(num, data)
         if length_ref is None:
             length_entry = b"/Length %d" % len(data)
         else:
@@ -69,6 +77,7 @@ class _Writer:
             + b" >>\nstream\n" + data + b"\nendstream"
         )
         self.add(num, body)
+        return len(data)
 
     def add_objstm(self, container_num: int, members: list[tuple[int, bytes]]) -> None:
         """Pack (num, body) dict objects into one /Type /ObjStm stream;
@@ -88,19 +97,20 @@ class _Writer:
             payload,
         )
 
-    def finish(self, root_num: int) -> bytes:
+    def finish(self, root_num: int, trailer_extra: bytes = b"") -> bytes:
         xref_pos = self.pos
         count = self.next_num
         xref = [b"xref\n", b"0 %d\n" % count, b"0000000000 65535 f\r\n"]
         for num in range(1, count):
             xref.append(b"%010d %05d n\r\n" % (self.offsets[num], 0))
         trailer = (
-            b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (count, root_num, xref_pos)
+            b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+            % (count, root_num, trailer_extra, xref_pos)
         )
         return b"".join(self.parts) + b"".join(xref) + trailer
 
-    def finish_xref_stream(self, root_num: int, compress: bool = True) -> bytes:
+    def finish_xref_stream(self, root_num: int, compress: bool = True,
+                           trailer_extra: bytes = b"") -> bytes:
         """Terminate with a PDF 1.5 cross-reference STREAM (no trailer
         keyword): /W [1 4 2] rows, optionally Flate + PNG Up predictor
         (Predictor 12) — the layout real producers emit."""
@@ -117,13 +127,16 @@ class _Writer:
             else:
                 off = xref_stream_pos if num == xnum else self.offsets[num]
                 rows += b"\x01" + off.to_bytes(4, "big") + (0).to_bytes(2, "big")
-        extra = b"/Type /XRef /Size %d /W [ 1 4 2 ] /Root %d 0 R" % (count, root_num)
+        extra = (
+            b"/Type /XRef /Size %d /W [ 1 4 2 ] /Root %d 0 R%s"
+            % (count, root_num, trailer_extra)
+        )
         if compress:
             data = zlib.compress(png_predict_up(bytes(rows), 7))
             extra += b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >>"
         else:
             data = bytes(rows)
-        self.add_stream(xnum, extra, data)
+        self.add_stream(xnum, extra, data, plaintext=True)
         tail = b"startxref\n%d\n%%%%EOF\n" % xref_stream_pos
         return b"".join(self.parts) + tail
 
@@ -187,6 +200,7 @@ def build_text_pdf(
     thumbnail: bool = False,          # /Thumb ref on page 1 (V13)
     inherit_resources: bool = False,  # /Resources on the Pages node only
     form_xobject: bool = False,       # content lives in a Form XObject (Do)
+    encrypt: str | None = None,       # rc4-40 | rc4-128 | aesv2
 ) -> bytes:
     """A PDF whose extracted text (textextract rules) is exactly ``text``.
 
@@ -199,7 +213,16 @@ def build_text_pdf(
     dict object (catalog/pages/page/font) into an object stream with
     type-2 entries; ``prev`` appends an incremental update whose new
     classic section chains to the base via /Prev.
+
+    ``encrypt``: standard security handler with empty user/owner
+    passwords — "rc4-40" (V1/R2), "rc4-128" (V2/R3) or "aesv2"
+    (V4/R4 AES-128-CBC). Every stream body is encrypted with the
+    per-object key; the xref stream stays plaintext per spec. Not
+    combinable with xref_kind="prev" (the incremental trailer does
+    not repeat /Encrypt).
     """
+    if encrypt and xref_kind == "prev":
+        raise ValueError("encrypt= is not supported with xref_kind='prev'")
     if xref_kind == "prev":
         return _append_incremental(
             build_text_pdf(
@@ -222,6 +245,27 @@ def build_text_pdf(
     w = _Writer()
     use_objstm = xref_kind == "objstm"
     objstm_members: list[tuple[int, bytes]] = []
+
+    enc_handler = None
+    file_id = b""
+    if encrypt:
+        from . import crypt as _crypt
+
+        profiles = {
+            "rc4-40": (1, 2, 40, "rc4"),
+            "rc4-128": (2, 3, 128, "rc4"),
+            "aesv2": (4, 4, 128, "aesv2"),
+        }
+        if encrypt not in profiles:
+            raise ValueError(f"unknown encrypt profile {encrypt!r}")
+        enc_v, enc_r, enc_bits, enc_mode = profiles[encrypt]
+        file_id = hashlib.md5(b"graft-file-id|" + encrypt.encode() + b"|" + text).digest()
+        enc_o = _crypt.compute_o_entry(b"", b"", enc_r, enc_bits // 8)
+        enc_handler = _crypt.StandardSecurityHandler(
+            enc_r, enc_bits // 8, enc_o, -1, file_id, enc_mode
+        )
+        enc_u = _crypt.compute_u_entry(enc_handler.file_key, file_id, enc_r)
+        w.encryptor = lambda num, data: enc_handler.encrypt(num, 0, data)
 
     def emit_dict(num: int, body: bytes) -> None:
         if use_objstm:
@@ -402,18 +446,20 @@ def build_text_pdf(
                 b"/Contents %d 0 R >>"
                 % (pages_num, res_with_form, thumb, content_num),
             )
-            w.add_stream(content_num, b"", b"q /Fx0 Do Q", length_ref=length_num)
+            stored = w.add_stream(
+                content_num, b"", b"q /Fx0 Do Q", length_ref=length_num
+            )
             if length_num is not None:
-                w.add(length_num, b"%d" % len(b"q /Fx0 Do Q"))
+                w.add(length_num, b"%d" % stored)
         else:
             emit_dict(
                 page_num,
                 b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] %s%s "
                 b"/Contents %d 0 R >>" % (pages_num, res, thumb, content_num),
             )
-            w.add_stream(content_num, filt, data, length_ref=length_num)
+            stored = w.add_stream(content_num, filt, data, length_ref=length_num)
             if length_num is not None:
-                w.add(length_num, b"%d" % len(data))
+                w.add(length_num, b"%d" % stored)
         page_nums.append(page_num)
 
     kids = b" ".join(b"%d 0 R" % p for p in page_nums)
@@ -436,9 +482,36 @@ def build_text_pdf(
     if use_objstm:
         container = w.alloc()
         w.add_objstm(container, objstm_members)
+
+    trailer_extra = b""
+    if enc_handler is not None:
+        enc_num = w.alloc()
+        if enc_mode == "aesv2":
+            cf = (
+                b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                b" /StmF /StdCF /StrF /StdCF"
+            )
+        else:
+            cf = b""
+        w.add(
+            enc_num,
+            b"<< /Filter /Standard /V %d /R %d /Length %d /P -1 "
+            b"/O <%s> /U <%s>%s >>"
+            % (
+                enc_v,
+                enc_r,
+                enc_bits,
+                enc_o.hex().encode(),
+                enc_u.hex().encode(),
+                cf,
+            ),
+        )
+        idh = file_id.hex().encode()
+        trailer_extra = b" /Encrypt %d 0 R /ID [ <%s> <%s> ]" % (enc_num, idh, idh)
+
     if xref_kind in ("stream", "objstm"):
-        return w.finish_xref_stream(catalog)
-    return w.finish(catalog)
+        return w.finish_xref_stream(catalog, trailer_extra=trailer_extra)
+    return w.finish(catalog, trailer_extra=trailer_extra)
 
 
 def _append_incremental(base: bytes) -> bytes:

@@ -531,3 +531,70 @@ def gif_interlaced_meta(sf_dir: str):
         GifInterlacedMeta, batch_format="pyarrow", batch_size=128,
         concurrency=default_concurrency(),
     )
+
+
+class EncryptedExtract:
+    """Encrypted-PDF extraction stage (actor pool): each doc's text is
+    packaged as a standard-security-handler-encrypted PDF (RC4-40 /
+    RC4-128 / AES-128 cycling by doc_id, crossed with show-variant,
+    transport-filter and xref-kind arms) and extracted back through
+    the full pipeline — xref/trailer, /Encrypt handler authentication,
+    per-object-key stream decryption, filter chain, content-stream
+    tokenization. Output text must be byte-identical to the input
+    (the oracle just reads documents.text back).
+
+    A warm CMap cache is held per actor, matching the main extract
+    stage's shape."""
+
+    _MODES = ("rc4-40", "rc4-128", "aesv2")
+    _VARIANTS = ("tj", "tj_split", "hex", "cmap")
+    _XREFS = ("classic", "stream", "objstm")
+    _FILTERS = ("flate", "none", "lzw")
+
+    def __init__(self):
+        self.cmap_cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.document import PdfDocument
+        from ..pdfcore.pdfbuild import build_text_pdf
+        from ..pdfcore.textextract import extract_text
+
+        ids, texts, modes = [], [], []
+        for d, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            mode = self._MODES[d % 3]
+            pdf = build_text_pdf(
+                t.encode("utf-8"),
+                show_variant=self._VARIANTS[(d // 3) % 4],
+                stream_filter=self._FILTERS[(d // 12) % 3],
+                xref_kind=self._XREFS[(d // 36) % 3],
+                encrypt=mode,
+            )
+            got, _spans = extract_text(PdfDocument(pdf), self.cmap_cache)
+            ids.append(d)
+            texts.append(got.decode("utf-8"))
+            modes.append(mode)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "enc_mode": pa.array(modes, pa.string()),
+            }
+        )
+
+
+def extract_encrypted_text(sf_dir: str):
+    """Standard-security-handler roundtrip over the documents table:
+    encrypt -> parse -> authenticate -> decrypt -> extract, per doc."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        EncryptedExtract, batch_format="pyarrow", batch_size=64,
+        concurrency=default_concurrency(),
+    )
