@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_meta_ext": multimodal.audio_meta_ext,
         "gif_interlaced_meta": multimodal.gif_interlaced_meta,
         "extract_encrypted_text": multimodal.extract_encrypted_text,
+        "pdf_ccitt_image_stats": multimodal.pdf_ccitt_image_stats,
         # -- driver-snapshotted green in r3+r4 --
         # flagship composite: extract -> quality filter -> dedup
         "curation_pipeline": curation_pipeline,
@@ -1664,6 +1665,36 @@ def oracle_sql() -> dict[str, str]:
                                    WHEN 1 THEN 'rc4-128'
                                    ELSE 'aesv2' END AS enc_mode
             FROM documents
+        """,
+        # CCITT G3/G4 bilevel images decoded through the PDF image
+        # path; black count + position-weighted bit checksum restated
+        # as doc_id arithmetic
+        "pdf_ccitt_image_stats": """
+            WITH dims AS (
+              SELECT doc_id,
+                     4 + doc_id % 12 AS w,
+                     3 + doc_id % 9 AS h,
+                     CASE doc_id % 2 WHEN 0 THEN -1 ELSE 0 END AS k
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, w, h, k,
+                     unnest(generate_series(0, w * h - 1)) AS i
+              FROM dims
+            ),
+            b AS (
+              SELECT doc_id, w, h, k, i,
+                     CASE WHEN (doc_id * 3 + i * 7) % 5 = 0 THEN 0 ELSE 1 END AS bit
+              FROM px
+            )
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(k AS BIGINT) AS ccitt_k,
+                   CAST(SUM(1 - bit) AS BIGINT) AS n_black,
+                   CAST(SUM((i + 1) * bit) AS BIGINT) AS px_wsum
+            FROM b
+            GROUP BY doc_id, w, h, k
         """,
         # interlaced GIF: position-weighted pixel checksum (order-
         # sensitive — a wrong de-interlace row order changes it)

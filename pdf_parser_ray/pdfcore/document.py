@@ -82,13 +82,16 @@ class Page:
 class ImageParam:
     """src/image.rs:42-83 ImageDecodeParam."""
 
-    __slots__ = ("width", "height", "colorspace", "filter")
+    __slots__ = ("width", "height", "colorspace", "filter", "bpc", "decode_parms")
 
-    def __init__(self, width, height, colorspace, filter_):
+    def __init__(self, width, height, colorspace, filter_, bpc=8,
+                 decode_parms=None):
         self.width = width
         self.height = height
         self.colorspace = colorspace
         self.filter = filter_
+        self.bpc = bpc
+        self.decode_parms = decode_parms or {}
 
 
 class PdfDocument:
@@ -471,10 +474,27 @@ class PdfDocument:
             filt_name = ensure_name(first[0])[VAL]
         else:
             filt_name = ensure_name(filt_obj)[VAL]
-        if filt_name not in ("FlateDecode", "DCTDecode"):
+        # CCITTFaxDecode is an engine extension past the reference's
+        # closed Flate+DCT enum (scanned-document corpora); 1 bit per
+        # component, DeviceGray only
+        if filt_name not in ("FlateDecode", "DCTDecode", "CCITTFaxDecode"):
             raise ObjectError("filter is not supportted", filt_obj[OFF])
+        bpc = 8
+        bpc_obj = xobj_dict[VAL].get("BitsPerComponent")
+        if bpc_obj is not None and bpc_obj[TAG] == "int":
+            bpc = bpc_obj[VAL]
+        parms = {}
+        if filt_name == "CCITTFaxDecode":
+            if bpc != 1 or cs_name != "DeviceGray":
+                raise ObjectError(
+                    "CCITT images must be 1-bit DeviceGray", filt_obj[OFF]
+                )
+            _names, plist = self._filter_chain(xobj_dict)
+            parms = plist[0] if plist else {}
 
-        return ImageParam(width[VAL], height[VAL], cs_name, filt_name)
+        return ImageParam(
+            width[VAL], height[VAL], cs_name, filt_name, bpc, parms
+        )
 
     def extract_page_images(self, page: Page) -> list[dict]:
         """SMask anti-join then per-XObject decode (src/page.rs:51-74).
@@ -500,6 +520,17 @@ class PdfDocument:
             raw = self.get_stream_raw(stream)
             if param.filter == "FlateDecode":
                 decoded = flate_decode(raw)
+            elif param.filter == "CCITTFaxDecode":
+                from .ccitt import ccitt_decode
+
+                p = param.decode_parms
+                decoded = ccitt_decode(
+                    raw,
+                    k=int(p.get("K", 0)),
+                    columns=int(p.get("Columns", 1728)),
+                    rows=int(p.get("Rows", 0)) or param.height,
+                    black_is_1=bool(p.get("BlackIs1", False)),
+                )
             else:  # DCTDecode via the engine's baseline JPEG decoder
                 from .filters import dct_decode
 
@@ -518,7 +549,22 @@ class PdfDocument:
 
     @staticmethod
     def _assemble_rgb(param: ImageParam, decoded: bytes) -> bytes:
-        """src/image.rs:146-161 — gray expands to RGB; size mismatch panics."""
+        """src/image.rs:146-161 — gray expands to RGB; size mismatch
+        panics. 1-bit rows (CCITT) unpack MSB-first with byte-aligned
+        row padding: 0 = black, 1 = white (BlackIs1 already applied by
+        the filter)."""
+        if param.bpc == 1:
+            stride = (param.width + 7) // 8
+            if len(decoded) != stride * param.height:
+                raise PanicError("image buffer size mismatch")
+            out = bytearray()
+            for r in range(param.height):
+                base = r * stride
+                for c in range(param.width):
+                    bit = decoded[base + (c >> 3)] & (0x80 >> (c & 7))
+                    v = 0xFF if bit else 0x00
+                    out += bytes((v, v, v))
+            return bytes(out)
         expected = param.width * param.height * (3 if param.colorspace == "DeviceRGB" else 1)
         if len(decoded) != expected:
             raise PanicError("image buffer size mismatch")

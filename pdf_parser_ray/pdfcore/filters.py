@@ -426,6 +426,16 @@ def decode_stream(data: bytes, filter_names: list[str], parms: list[dict] | None
             out = ascii85_decode(out)
         elif name == "RunLengthDecode":
             out = run_length_decode(out)
+        elif name == "CCITTFaxDecode":
+            from .ccitt import ccitt_decode
+
+            out = ccitt_decode(
+                out,
+                k=int(parm.get("K", 0)),
+                columns=int(parm.get("Columns", 1728)),
+                rows=int(parm.get("Rows", 0)) or None,
+                black_is_1=bool(parm.get("BlackIs1", False)),
+            )
         else:
             raise FilterError("filter is not supportted")
     return out

@@ -340,31 +340,49 @@ def build_text_pdf(
             )
             smask_clause = b" /SMask %d 0 R" % smask_num
         img_num = w.alloc()
-        if image.get("filter") == "dct":
-            # DCTDecode arm: pixels carried as a JPEG built by the
-            # engine's own encoder (near-lossless flat quant);
-            # ``jpeg_bytes`` overrides the body (e.g. progressive
-            # fixtures)
-            from .jpeg import encode_jpeg
+        if image.get("filter") == "ccitt":
+            # 1-bit DeviceGray bilevel image, Group 4 (K = -1): pixels
+            # are 0 (black) / 1 (white) bytes, one per pixel
+            from .ccitt import ccitt_encode
 
-            img_filter = b"/DCTDecode"
-            img_body = image.get("jpeg_bytes") or encode_jpeg(
-                image["pixels"], image["width"], image["height"], 3
+            k = image.get("ccitt_k", -1)
+            w.add_stream(
+                img_num,
+                b"/Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                b"/Filter /CCITTFaxDecode /DecodeParms "
+                b"<< /K %d /Columns %d /Rows %d >>"
+                % (image["width"], image["height"], k, image["width"], image["height"]),
+                ccitt_encode(image["pixels"], image["width"], image["height"], k),
             )
+            entries = b"/Im0 %d 0 R" % img_num
+            image_clause = b" /XObject << %s >>" % entries
         else:
-            img_filter = b"/FlateDecode"
-            img_body = zlib.compress(image["pixels"])
-        w.add_stream(
-            img_num,
-            b"/Type /XObject /Subtype /Image /Width %d /Height %d "
-            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter %s%s"
-            % (image["width"], image["height"], img_filter, smask_clause),
-            img_body,
-        )
-        entries = b"/Im0 %d 0 R" % img_num
-        if image.get("smask_pixels") is not None:
-            entries += b" /Sm0 %d 0 R" % smask_num
-        image_clause = b" /XObject << %s >>" % entries
+            if image.get("filter") == "dct":
+                # DCTDecode arm: pixels carried as a JPEG built by the
+                # engine's own encoder (near-lossless flat quant);
+                # ``jpeg_bytes`` overrides the body (e.g. progressive
+                # fixtures)
+                from .jpeg import encode_jpeg
+
+                img_filter = b"/DCTDecode"
+                img_body = image.get("jpeg_bytes") or encode_jpeg(
+                    image["pixels"], image["width"], image["height"], 3
+                )
+            else:
+                img_filter = b"/FlateDecode"
+                img_body = zlib.compress(image["pixels"])
+            w.add_stream(
+                img_num,
+                b"/Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter %s%s"
+                % (image["width"], image["height"], img_filter, smask_clause),
+                img_body,
+            )
+            entries = b"/Im0 %d 0 R" % img_num
+            if image.get("smask_pixels") is not None:
+                entries += b" /Sm0 %d 0 R" % smask_num
+            image_clause = b" /XObject << %s >>" % entries
 
     page_nums = []
     for page_lines in pages:

@@ -598,3 +598,69 @@ def extract_encrypted_text(sf_dir: str):
         EncryptedExtract, batch_format="pyarrow", batch_size=64,
         concurrency=default_concurrency(),
     )
+
+
+class CcittImageStats:
+    """CCITT image-XObject decode stage (actor pool): each doc carries
+    a PDF with a deterministic bilevel image encoded Group 4 (even
+    doc_id) or Group 3 one-dimensional (odd), decoded back through the
+    FULL document pipeline — xref, XObject collection, CCITTFaxDecode
+    with /DecodeParms, 1-bit row unpack, gray->RGB assembly. Black
+    count and a position-weighted checksum are doc_id arithmetic the
+    oracle restates; the weighting makes a row-order or bit-order bug
+    change the value."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.document import PdfDocument
+        from ..pdfcore.pdfbuild import build_text_pdf
+
+        ids, ws, hs, ks, blacks, wsums = [], [], [], [], [], []
+        for d in batch["doc_id"].to_pylist():
+            w = 4 + d % 12
+            h = 3 + d % 9
+            k = -1 if d % 2 == 0 else 0
+            px = bytes(
+                0 if (d * 3 + i * 7) % 5 == 0 else 1 for i in range(w * h)
+            )
+            pdf = build_text_pdf(
+                "x",
+                image={"width": w, "height": h, "pixels": px, "filter": "ccitt",
+                       "ccitt_k": k},
+            )
+            img = PdfDocument(pdf).extract_images([1])[0][0]
+            if (img["width"], img["height"]) != (w, h):
+                raise ValueError(f"ccitt dims mismatch for doc {d}")
+            rgb = img["rgb"]
+            bits = [1 if rgb[3 * i] else 0 for i in range(w * h)]
+            ids.append(d)
+            ws.append(w)
+            hs.append(h)
+            ks.append(k)
+            blacks.append(sum(1 for b in bits if b == 0))
+            wsums.append(sum((i + 1) * b for i, b in enumerate(bits)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "ccitt_k": pa.array(ks, pa.int64()),
+                "n_black": pa.array(blacks, pa.int64()),
+                "px_wsum": pa.array(wsums, pa.int64()),
+            }
+        )
+
+
+def pdf_ccitt_image_stats(sf_dir: str):
+    """Group 3/4 CCITT image decode through the PDF pipeline, over the
+    documents table (doc_id-only pruned read)."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return ds.map_batches(
+        CcittImageStats, batch_format="pyarrow", batch_size=64,
+        concurrency=default_concurrency(),
+    )
