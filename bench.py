@@ -234,6 +234,14 @@ def run_scaling() -> dict:
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # evidence-hygiene gate (round-4 verdict): a reading only counts as
+    # RECORDABLE when the high level's spread across its reps is < 25%
+    # — a wider spread means the host was throttling mid-measurement
+    # and the ratio measures noise, not the engine. Re-run instead of
+    # recording an unstable reading.
+    all_lo = [r["value"] for r in runs_lo]
+    all_hi = [r["value"] for r in runs_hi]
+    spread_hi = (max(all_hi) - min(all_hi)) / min(all_hi)
     return {
         "metric": f"scaling efficiency ({lo} -> {hi} extract workers, same input)",
         "value": round(eff, 3),
@@ -242,8 +250,10 @@ def run_scaling() -> dict:
         f"sec_{hi}": r_hi["value"],
         f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
         f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
-        f"all_sec_{lo}": [r["value"] for r in runs_lo],
-        f"all_sec_{hi}": [r["value"] for r in runs_hi],
+        f"all_sec_{lo}": all_lo,
+        f"all_sec_{hi}": all_hi,
+        "spread_hi": round(spread_hi, 3),
+        "stable": spread_hi < 0.25,
         "docs": r_hi["docs"],
         "gate": 0.8,
         "pass": eff >= 0.8,
