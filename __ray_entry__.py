@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gif_interlaced_meta": multimodal.gif_interlaced_meta,
         "extract_encrypted_text": multimodal.extract_encrypted_text,
         "pdf_ccitt_image_stats": multimodal.pdf_ccitt_image_stats,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # -- driver-snapshotted green in r3+r4 --
         # flagship composite: extract -> quality filter -> dedup
         "curation_pipeline": curation_pipeline,
@@ -825,6 +826,13 @@ def oracle_sql() -> dict[str, str]:
         # exact-Jaccard pair oracle — see _NEAR_PAIRS_CTES for why the
         # SQL restatement is exact at these jaccard levels
         "minhash_near_pairs": _DUP_CORPUS
+        + _NEAR_PAIRS_CTES
+        + """
+            SELECT a, b FROM pairs
+        """,
+        # the EXACT inverted-index sibling computes the same pair set
+        # deterministically (no LSH), so it shares the oracle verbatim
+        "ngram_jaccard_pairs": _DUP_CORPUS
         + _NEAR_PAIRS_CTES
         + """
             SELECT a, b FROM pairs

@@ -38,6 +38,7 @@ BENCH_QUERIES = (
     "quality_scores",
     "exact_dedup_text",
     "minhash_near_pairs",
+    "ngram_jaccard_pairs",
     "simhash_pairs",
     "html_main_content",
     "pdf_image_stats",

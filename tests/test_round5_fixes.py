@@ -124,3 +124,38 @@ def test_stage_run_scoped_empty_falls_back(ray_session, tmp_path, monkeypatch):
     monkeypatch.setenv("GRAFT_STAGE_ROOT", str(tmp_path))
     empty = ray.data.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
     assert staging.stage_run_scoped(empty, "e5").count() == 0
+
+
+def test_ngram_jaccard_pairs_match_minhash_verified(ray_session):
+    """The exact inverted-index Jaccard pairs must (a) contain every
+    planted near/exact dup and (b) equal the MinHash+verify pair set
+    on the same corpus (both compute jaccard >= 0.5 pairs; MinHash's
+    LSH recall is deterministic-in-practice on the bimodal corpus)."""
+    from pdf_parser_ray.pipelines.dedup import (
+        DUP_OFFSET,
+        minhash_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["a"], r["b"]) for r in ngram_jaccard_pairs(sf).take_all()
+    }
+    planted = {(i, i + DUP_OFFSET) for i in range(0, 500) if i % 10 in (0, 5)}
+    assert planted - exact == set()
+    lsh = {(r["a"], r["b"]) for r in minhash_dup_pairs(sf, threshold=0.5).take_all()}
+    assert exact == lsh
+
+
+def test_ngram_jaccard_hot_shingle_cap_is_conservative(ray_session):
+    """max_df drops hot shingles from the intersection only — the pair
+    set under a cap is a SUBSET of the exact pair set."""
+    from pdf_parser_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r["a"], r["b"]) for r in ngram_jaccard_pairs(sf).take_all()}
+    capped = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(sf, max_df=8).take_all()
+    }
+    assert capped <= exact
