@@ -337,6 +337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_encrypted_text": multimodal.extract_encrypted_text,
         "pdf_ccitt_image_stats": multimodal.pdf_ccitt_image_stats,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "semantic_dedup": similarity.semantic_dedup,
+        "heavy_hitters": sketch.heavy_hitters,
         # -- driver-snapshotted green in r3+r4 --
         # flagship composite: extract -> quality filter -> dedup
         "curation_pipeline": curation_pipeline,
@@ -836,6 +838,44 @@ def oracle_sql() -> dict[str, str]:
         + _NEAR_PAIRS_CTES
         + """
             SELECT a, b FROM pairs
+        """,
+        # SemDeDup: deterministic seed-centroid assignment (same rule
+        # as embedding_clusters) over the noisy-copy corpus, then the
+        # keep-lowest-id within-cluster cosine rule stated as EXISTS
+        "semantic_dedup": _EMB_CORPUS
+        + """
+            , assign AS (
+              SELECT vec_id, e, cluster_id FROM (
+                SELECT c.vec_id, c.e, s.vec_id AS cluster_id,
+                       row_number() OVER (
+                         PARTITION BY c.vec_id
+                         ORDER BY list_cosine_similarity(
+                             c.e, CAST(s.embedding AS DOUBLE[])) DESC,
+                         s.vec_id) AS rk
+                FROM corpus c, embeddings s
+                WHERE s.vec_id >= 8 AND s.vec_id < 24
+              ) WHERE rk = 1
+            )
+            SELECT a.vec_id, a.cluster_id,
+                   EXISTS (
+                     SELECT 1 FROM assign b
+                     WHERE b.cluster_id = a.cluster_id
+                       AND b.vec_id < a.vec_id
+                       AND list_cosine_similarity(a.e, b.e) >= 0.999
+                   ) AS removed
+            FROM assign a
+        """,
+        # exact heavy hitters (freq * k > N, k = 100): the Ray side's
+        # two-pass Misra-Gries sweep is exact by construction, so the
+        # oracle is the direct full-vocabulary restatement
+        "heavy_hitters": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS token
+              FROM documents
+            )
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY token
+            HAVING COUNT(*) * 100 > (SELECT COUNT(*) FROM toks)
         """,
         # the removal composite: drop the larger member of every
         # verified near-dup pair (keep-smallest-id), emit survivors

@@ -578,3 +578,94 @@ def embedding_clusters(sf_dir: str, n_queries: int = 8, n_centroids: int = 16):
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    sf_dir: str, n_queries: int = 8, n_centroids: int = 16, eps: float = 0.999
+):
+    """SemDeDup [Abbas et al. 2023, arXiv:2303.09540] — semantic
+    deduplication over the embedding column: cluster the corpus, then
+    flag within-cluster semantic duplicates (cosine >= ``eps``),
+    keeping the lowest vec_id of each duplicate group. Runs over the
+    noisy-copy corpus (planted near-identical copies at cos ~0.9999,
+    the same SQL-restatable corpus as embedding_dup_pairs).
+
+    Ray shape, 100-TB-honest: the quadratic step is confined WITHIN
+    clusters — assignment is one matmul per batch against the
+    broadcast (n_centroids x dim) seed matrix (deterministic lowest-id
+    seeds, as in :func:`embedding_clusters`, so the whole computation
+    is SQL-restatable), then ``groupby(cluster_id).map_groups`` runs
+    the per-cluster gram matrix. Cost is sum(c_i^2), never corpus^2;
+    at fleet scale n_centroids grows with the corpus so cluster sizes
+    stay bounded, and the shuffle carries (vec_id, cluster_id,
+    payload) exactly once per vector. Output (vec_id, cluster_id,
+    removed) is decided by float64 cosine with an ~1e-3 margin to the
+    planted structure on both sides, so it is deterministic across
+    partitionings.
+
+    removed[i] = exists j in the same cluster with vec_id_j < vec_id_i
+    and cos(i, j) >= eps — the keep-lowest-id rule stated as an EXISTS,
+    which is what the DuckDB oracle evaluates verbatim.
+    """
+    import pyarrow.parquet as pq
+    import ray.data
+
+    init = pq.read_table(
+        _p(sf_dir),
+        columns=["vec_id", "embedding"],
+        filters=[
+            ("vec_id", ">=", n_queries),
+            ("vec_id", "<", n_queries + n_centroids),
+        ],
+    )
+    order = np.argsort(init["vec_id"].to_numpy(), kind="stable")
+    cent_ids = init["vec_id"].to_numpy()[order]
+    cents = _normalize(
+        np.array(init["embedding"].to_pylist(), dtype=np.float64)[order]
+    )
+
+    corpus = _staged_noisy_corpus(sf_dir)
+
+    def assign_pack(batch: pa.Table) -> pa.Table:
+        m = _mat(batch).astype(np.float64)
+        best = np.argmax(_normalize(m) @ cents.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "cluster_id": pa.array(cent_ids[best], pa.int64()),
+                "payload": pa.array(
+                    [row.tobytes() for row in m], type=pa.binary()
+                ),
+            }
+        )
+
+    def cluster_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.stack(
+            [
+                np.frombuffer(b, dtype=np.float64)
+                for b in g["payload"].to_numpy()[order]
+            ]
+        )
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        nm = m / norms
+        # removed[i] = any earlier (lower-id) row in this cluster with
+        # cosine >= eps; strictly-lower triangle so the group keeper
+        # itself is never flagged
+        dup = np.tril(nm @ nm.T >= eps, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids.astype(np.int64),
+                "cluster_id": np.full(len(ids), g["cluster_id"].iloc[0], np.int64),
+                "removed": dup,
+            }
+        )
+
+    return (
+        corpus.map_batches(assign_pack, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(cluster_dedup, batch_format="pandas")
+    )

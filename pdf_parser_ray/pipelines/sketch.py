@@ -188,3 +188,115 @@ def quantile_sketch(sf_dir: str, quantiles=(50, 90), bin_width: int = 64):
         .groupby("lang")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def heavy_hitters(sf_dir: str, k: int = 100):
+    """EXACT corpus heavy hitters — tokens with global frequency
+    strictly above N/k — via the two-pass Misra-Gries candidate sweep
+    [Misra & Gries 1982, "Finding repeated elements"].
+
+    Pass 1 (map_batches): each block emits the tokens that are locally
+    heavy (block_cnt * k > block_total) — precisely the retention
+    guarantee of a k-counter Misra-Gries summary, computed directly
+    because the block's counts are batch-resident. Pigeonhole makes the
+    union of these per-block sets a guaranteed SUPERSET of the global
+    heavy hitters: a token with global freq > N/k must exceed
+    N_b/k in at least one block. Each block also emits one sentinel
+    row ("", block_total) so N rides the same tiny exchange.
+    Fewer than k rows per block leave the worker — the vocabulary
+    itself never shuffles (contrast vocab_stats, which is the exact
+    full-vocab aggregate).
+
+    Pass 2 (map_batches + native groupby Sum): the candidate set —
+    driver-resident but bounded by k * n_blocks rows and Zipf-small in
+    practice — is broadcast once via ray.put; blocks emit exact partial
+    counts for candidate tokens only, a native hash aggregate sums
+    them, and the exact filter cnt * k > N keeps the true heavy
+    hitters. Output is integer-exact and partitioning-independent.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    word_re = re.compile(TOKEN_RE)
+    kk = int(k)
+
+    def candidates(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for text in t["text"].to_pylist():
+            toks.extend(word_re.findall(text))
+        total = len(toks)
+        if total:
+            uniq, cnts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            heavy = cnts * kk > total
+            out_tok = list(uniq[heavy]) + [""]
+            out_cnt = list(cnts[heavy].astype(np.int64)) + [total]
+        else:
+            out_tok, out_cnt = [""], [0]
+        return pa.table(
+            {
+                "token": pa.array(out_tok, pa.string()),
+                "cnt": pa.array(np.asarray(out_cnt, np.int64), pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["text"])
+    cand = (
+        ds.map_batches(candidates, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )  # bounded: <= k rows per block + 1 sentinel, Zipf-small union
+    n_total = 0
+    cand_set: list[str] = []
+    for row in cand:
+        if row["token"] == "":
+            n_total = int(row["cnt"])
+        else:
+            cand_set.append(row["token"])
+    cand_arr = np.sort(np.asarray(cand_set, dtype=object))
+    ref = ray.put(cand_arr)
+
+    class Recount:
+        """Exact per-block counts restricted to the broadcast candidate
+        set (fetched once per actor, not per batch)."""
+
+        def __init__(self, ref):
+            self.cands = ray.get(ref)
+            self.word = re.compile(TOKEN_RE)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks: list[str] = []
+            for text in t["text"].to_pylist():
+                toks.extend(self.word.findall(text))
+            if toks:
+                uniq, cnts = np.unique(
+                    np.asarray(toks, dtype=object), return_counts=True
+                )
+                keep = np.isin(uniq, self.cands)
+                uniq, cnts = uniq[keep], cnts[keep]
+            else:
+                uniq = np.empty(0, object)
+                cnts = np.empty(0, np.int64)
+            return pa.table(
+                {
+                    "token": pa.array(list(uniq), pa.string()),
+                    "cnt": pa.array(cnts.astype(np.int64), pa.int64()),
+                }
+            )
+
+    exact = (
+        ds.map_batches(Recount, batch_format="pyarrow",
+                       concurrency=(1, 4), fn_constructor_args=(ref,))
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def final_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.greater(pc.multiply(t["cnt"], pa.scalar(kk, pa.int64())),
+                          pa.scalar(n_total, pa.int64()))
+        return t.filter(keep)
+
+    return exact.map_batches(final_filter, batch_format="pyarrow")
