@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "semantic_dedup": similarity.semantic_dedup,
         "heavy_hitters": sketch.heavy_hitters,
+        "cms_token_counts": sketch.cms_token_counts,
         # -- driver-snapshotted green in r3+r4 --
         # flagship composite: extract -> quality filter -> dedup
         "curation_pipeline": curation_pipeline,
@@ -864,6 +865,35 @@ def oracle_sql() -> dict[str, str]:
                        AND list_cosine_similarity(a.e, b.e) >= 0.999
                    ) AS removed
             FROM assign a
+        """,
+        # Count-Min sketch point estimates: the oracle rebuilds the
+        # identical d=2 x w=1024 counter array — FNV-1a64 cells via
+        # Kirsch-Mitzenmacher double hashing, cell-wise HUGEINT sums —
+        # and takes the per-token minimum, collision for collision
+        "cms_token_counts": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS token
+              FROM documents
+            ),
+            tc AS (
+              SELECT token, CAST(COUNT(*) AS HUGEINT) AS cnt
+              FROM toks GROUP BY token
+            ),
+            cells AS (
+              SELECT token, cnt,
+                     hv % 1024 AS c0,
+                     (hv % 1024 + (hv // 1024) % 1024) % 1024 AS c1
+              FROM (SELECT token, cnt, """
+        + _FNV64_SQL.replace("<S>", "token")
+        + """ AS hv FROM tc)
+            ),
+            ctr0 AS (SELECT c0 AS cell, SUM(cnt) AS s FROM cells GROUP BY 1),
+            ctr1 AS (SELECT c1 AS cell, SUM(cnt) AS s FROM cells GROUP BY 1)
+            SELECT cells.token AS token,
+                   CAST(LEAST(ctr0.s, ctr1.s) AS BIGINT) AS est_cnt
+            FROM cells
+            JOIN ctr0 ON cells.c0 = ctr0.cell
+            JOIN ctr1 ON cells.c1 = ctr1.cell
         """,
         # exact heavy hitters (freq * k > N, k = 100): the Ray side's
         # two-pass Misra-Gries sweep is exact by construction, so the

@@ -86,6 +86,9 @@ BENCH_QUERIES = (
     "near_dedup_survivors",
     "quality_classifier_score",
     "url_dedup_windowed",
+    "semantic_dedup",
+    "heavy_hitters",
+    "cms_token_counts",
 )
 
 

@@ -300,3 +300,111 @@ def heavy_hitters(sf_dir: str, k: int = 100):
         return t.filter(keep)
 
     return exact.map_batches(final_filter, batch_format="pyarrow")
+
+
+def cms_token_counts(sf_dir: str, width: int = 1024, depth: int = 2):
+    """Count-Min sketch point estimates [Cormode & Muthukrishnan 2005]
+    for every distinct corpus token — the third mergeable sketch
+    (KMV = distinct counts, histogram = quantiles, CMS = frequencies).
+
+    Cells come from Kirsch-Mitzenmacher double hashing on
+    FNV-1a64(token): ``cell_r = (h % w + r * ((h // w) % w)) % w`` —
+    pure integer arithmetic on a public hash, so the whole sketch
+    (including every collision) is deterministic and restatable in SQL;
+    ``est >= true count`` always, with equality exactly when the
+    token's d cells suffer no collision.
+
+    Ray shape: each block folds its token counts into a local d x w
+    counter array and emits only the NONZERO cells (<= d*w rows of
+    16 B, fixed regardless of block size); a native Sum merges them
+    (CMS partials are mergeable by cell-wise addition); the merged
+    d*w counter vector — 16 KB, by construction — broadcasts once via
+    ray.put, and a second pass probes every distinct token. Only
+    (token, est) rows shuffle for the final distinct; the corpus text
+    never does.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    w, d = int(width), int(depth)
+    word_re = re.compile(TOKEN_RE)
+
+    def _cells(h: np.ndarray) -> list[np.ndarray]:
+        c0 = (h % np.uint64(w)).astype(np.int64)
+        h2 = ((h // np.uint64(w)) % np.uint64(w)).astype(np.int64)
+        return [(c0 + r * h2) % w for r in range(d)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for text in t["text"].to_pylist():
+            toks.extend(word_re.findall(text))
+        if not toks:
+            return pa.table(
+                {"rc": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        uniq, cnts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        h = fnv1a64_of_strings(pa.array(list(uniq), pa.string()))
+        rcs, vals = [], []
+        for r, cells in enumerate(_cells(h)):
+            cell_u, inv = np.unique(cells, return_inverse=True)
+            acc = np.zeros(len(cell_u), np.int64)
+            np.add.at(acc, inv, cnts)
+            rcs.append(cell_u + r * w)
+            vals.append(acc)
+        return pa.table(
+            {
+                "rc": pa.array(np.concatenate(rcs), pa.int64()),
+                "cnt": pa.array(np.concatenate(vals), pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["text"])
+    ctr_rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("rc")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )  # <= d*w rows — fixed-size by construction, never corpus-shaped
+    counters = np.zeros(d * w, np.int64)
+    for row in ctr_rows:
+        counters[int(row["rc"])] = int(row["cnt"])
+    ref = ray.put(counters)
+
+    class Probe:
+        """Per-block distinct tokens -> CMS point query against the
+        broadcast counter vector (fetched once per actor)."""
+
+        def __init__(self, ref):
+            self.counters = ray.get(ref)
+            self.word = re.compile(TOKEN_RE)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks: list[str] = []
+            for text in t["text"].to_pylist():
+                toks.extend(self.word.findall(text))
+            if toks:
+                uniq = np.unique(np.asarray(toks, dtype=object))
+                h = fnv1a64_of_strings(pa.array(list(uniq), pa.string()))
+                cells = _cells(h)
+                est = np.stack(
+                    [self.counters[r * w + cells[r]] for r in range(d)]
+                ).min(axis=0)
+            else:
+                uniq = np.empty(0, dtype=object)
+                est = np.empty(0, np.int64)
+            return pa.table(
+                {
+                    "token": pa.array(list(uniq), pa.string()),
+                    "est_cnt": pa.array(est.astype(np.int64), pa.int64()),
+                }
+            )
+
+    # a token seen in several blocks emits identical estimates; the
+    # native Min collapses them to one row per distinct token
+    return (
+        ds.map_batches(Probe, batch_format="pyarrow",
+                       concurrency=(1, 4), fn_constructor_args=(ref,))
+        .groupby("token")
+        .aggregate(Min("est_cnt", alias_name="est_cnt"))
+    )

@@ -109,3 +109,59 @@ def test_semantic_dedup_keep_lowest_id_rule(ray_session):
     mins = got.groupby("cluster_id")["vec_id"].min()
     assert set(mins) <= set(kept["vec_id"])
     assert len(removed) > 0  # planted copies guarantee work to do
+
+
+def _cms_cells(tokens, w=1024):
+    from pdf_parser_ray.functions.hashing import fnv1a64_of_strings
+
+    h = fnv1a64_of_strings(pa.array(tokens, pa.string()))
+    c0 = (h % np.uint64(w)).astype(np.int64)
+    h2 = ((h // np.uint64(w)) % np.uint64(w)).astype(np.int64)
+    return c0, (c0 + h2) % w
+
+
+def test_cms_exact_on_collision_free_corpus(ray_session):
+    # 31 distinct tokens in 1024 cells: no collisions, so every CMS
+    # estimate must equal the exact count
+    got = (
+        sketch.cms_token_counts(SF)
+        .to_pandas()
+        .set_index("token")["est_cnt"]
+        .to_dict()
+    )
+    word = re.compile(sketch.TOKEN_RE)
+    cnt: Counter = Counter()
+    for txt in pq.read_table(
+        SF + "/documents.parquet", columns=["text"]
+    )["text"].to_pylist():
+        cnt.update(word.findall(txt))
+    assert got == dict(cnt)
+
+
+def test_cms_overestimates_on_forced_collision(ray_session, tmp_path):
+    # find two tokens colliding in BOTH rows (same c0 and same c1) by
+    # deterministic search, then verify the classic CMS overestimate
+    pool = [f"tok{i}" for i in range(300000)]
+    c0, c1 = _cms_cells(pool)
+    seen: dict = {}
+    pair = None
+    for t, a, b in zip(pool, c0, c1):
+        key = (int(a), int(b))
+        if key in seen:
+            pair = (seen[key], t)
+            break
+        seen[key] = t
+    assert pair is not None, "no double collision in search pool"
+    t1, t2 = pair
+    texts = [(t1 + " ") * 3 + (t2 + " ") * 5 + "solo"]
+    _write_docs(tmp_path, texts)
+    got = (
+        sketch.cms_token_counts(str(tmp_path))
+        .to_pandas()
+        .set_index("token")["est_cnt"]
+        .to_dict()
+    )
+    # colliding tokens report the merged cell count; the lone token
+    # stays exact (its two cells are collision-free w.h.p. in this set)
+    assert got[t1] == 8 and got[t2] == 8
+    assert got["solo"] == 1
