@@ -340,6 +340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": similarity.semantic_dedup,
         "heavy_hitters": sketch.heavy_hitters,
         "cms_token_counts": sketch.cms_token_counts,
+        "events_interval_join": relational.events_interval_join,
+        "hll_distinct_shingles": sketch.hll_distinct_shingles,
+        "shingle_set_ops": textstats.shingle_set_ops,
         # -- driver-snapshotted green in r3+r4 --
         # flagship composite: extract -> quality filter -> dedup
         "curation_pipeline": curation_pipeline,
@@ -906,6 +909,94 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM toks GROUP BY token
             HAVING COUNT(*) * 100 > (SELECT COUNT(*) FROM toks)
+        """,
+        # INTERVAL join: all click events within (p.ts, p.ts + 6h]
+        # after each purchase by the same user — direct band-join SQL
+        "events_interval_join": """
+            SELECT p.event_id AS purchase_event_id,
+                   c.event_id AS click_event_id
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL 6 HOUR
+        """,
+        # HyperLogLog registers + raw estimate rebuilt exactly: FNV
+        # shingle hashes -> bucket = h % 1024, rank = 1 + tz(h // 1024)
+        # via a powers-of-two join (pure BIGINT), fixed-point 2^55
+        # harmonic sum in HUGEINT, integer alpha rational
+        "hll_distinct_shingles": """
+            WITH tok AS (
+              SELECT lang, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts
+              FROM documents
+            ),
+            shl AS (
+              SELECT lang,
+                     CASE WHEN len(ts) = 0 THEN []
+                          WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                          ELSE list_transform(generate_series(1, len(ts) - 2),
+                               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                     END AS shingles
+              FROM tok
+            ),
+            sh AS (SELECT DISTINCT lang, unnest(shingles) AS s FROM shl),
+            hv AS (SELECT lang, """
+        + _FNV64_SQL.replace("<S>", "s")
+        + """ AS h FROM sh),
+            parts AS (
+              SELECT lang, CAST(h % 1024 AS BIGINT) AS bucket,
+                     CAST(h // 1024 AS BIGINT) AS w
+              FROM hv
+            ),
+            tz AS (
+              SELECT p.lang, p.bucket,
+                     CASE WHEN p.w = 0 THEN 55
+                          ELSE 1 + (SELECT MAX(g.k)
+                                    FROM generate_series(0, 54) g(k)
+                                    WHERE p.w % (1::BIGINT << g.k) = 0)
+                     END AS rho
+              FROM parts p
+            ),
+            regs AS (SELECT lang, bucket, MAX(rho) AS rho FROM tz GROUP BY 1, 2),
+            fin AS (
+              SELECT lang, COUNT(*) AS used_regs, MAX(rho) AS max_rho,
+                     SUM((1::BIGINT << 55) >> CAST(rho AS INT))::HUGEINT
+                       + (1024 - COUNT(*))::HUGEINT
+                         * (1::BIGINT << 55)::HUGEINT AS s
+              FROM regs GROUP BY 1
+            )
+            SELECT lang, CAST(used_regs AS BIGINT) AS used_regs,
+                   CAST(max_rho AS BIGINT) AS max_rho,
+                   CAST((7386112000::HUGEINT * 1048576::HUGEINT
+                         * (1::BIGINT << 55)::HUGEINT)
+                        // (10250790000::HUGEINT * s) AS BIGINT) AS est_raw
+            FROM fin
+        """,
+        # set ops as a FULL OUTER over the two distinct shingle sets:
+        # intersect / only_a (EXCEPT) / only_b classified per shingle
+        "shingle_set_ops": """
+            WITH tok AS (
+              SELECT lang, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts
+              FROM documents WHERE lang IN ('en', 'de')
+            ),
+            shl AS (
+              SELECT lang,
+                     CASE WHEN len(ts) = 0 THEN []
+                          WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                          ELSE list_transform(generate_series(1, len(ts) - 2),
+                               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                     END AS shingles
+              FROM tok
+            ),
+            a AS (SELECT DISTINCT unnest(shingles) AS shingle
+                  FROM shl WHERE lang = 'en'),
+            b AS (SELECT DISTINCT unnest(shingles) AS shingle
+                  FROM shl WHERE lang = 'de')
+            SELECT COALESCE(a.shingle, b.shingle) AS shingle,
+                   CASE WHEN a.shingle IS NOT NULL AND b.shingle IS NOT NULL
+                        THEN 'intersect'
+                        WHEN a.shingle IS NOT NULL THEN 'only_a'
+                        ELSE 'only_b' END AS set_op
+            FROM a FULL OUTER JOIN b ON a.shingle = b.shingle
         """,
         # the removal composite: drop the larger member of every
         # verified near-dup pair (keep-smallest-id), emit survivors

@@ -408,3 +408,106 @@ def cms_token_counts(sf_dir: str, width: int = 1024, depth: int = 2):
         .groupby("token")
         .aggregate(Min("est_cnt", alias_name="est_cnt"))
     )
+
+
+# HLL fixed-point constants: alpha_1024 = 0.7213 / (1 + 1.079/1024)
+# kept as an exact rational so Python, Ray workers and the SQL oracle
+# compute the identical integer estimate
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P
+_HLL_RHO_MAX = 64 - _HLL_P + 1  # 55: w = h >> p has 54 bits; w == 0 caps here
+_HLL_SCALE = 1 << _HLL_RHO_MAX  # 2^-rho stored exactly as SCALE >> rho
+_HLL_ALPHA_NUM = 7213 * 1_024_000
+_HLL_ALPHA_DEN = 10_000 * 1_025_079  # 1 + 1079/1024000 folded in
+
+
+def hll_distinct_shingles(sf_dir: str):
+    """HyperLogLog distinct-count per lang of the corpus's 3-token
+    shingle sets [Flajolet et al. 2007] — the register sketch sibling
+    of KMV, over an input whose cardinality (thousands per lang) sits
+    in the raw estimator's accurate regime (n >> m). The rank is
+    1 + trailing_zeros(h // m) (the Flajolet-Martin observable — same
+    geometric law as leading zeros, but pure integer arithmetic),
+    capped at 55 for w == 0. Hash family: FNV-1a64 of the joined
+    shingle string (functions/hashing.py shingle_hashes — the same
+    family the SimHash oracle restates in SQL).
+
+    Everything is INTEGER: 2^-rho terms are SCALE >> rho at SCALE =
+    2^55, the harmonic sum S fits a Python int / SQL HUGEINT, and the
+    raw estimate is ALPHA_NUM * m^2 * SCALE // (ALPHA_DEN * S) — so
+    the whole sketch, estimate included, is deterministic across any
+    partitioning and exactly restatable in SQL. The small-range
+    linear-counting correction (m * ln(m/zero_regs)) needs a float ln
+    and is deliberately left to the caller; used_regs is emitted so
+    they can apply it.
+
+    Ray shape: each block folds its shingles into per-(lang, bucket)
+    max-rho partials (<= langs * 1024 rows of 20 B per block, fixed
+    regardless of block size); registers merge by native Max (HLL
+    partials are mergeable by register-wise max); the merged register
+    table — <= langs * 1024 rows by construction — finalizes on the
+    driver in exact big-int arithmetic. Corpus text never shuffles."""
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from ..functions.hashing import shingle_hashes
+
+    word_re = re.compile(TOKEN_RE)
+    m = _HLL_M
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows: dict[tuple[str, int], int] = {}
+        for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            h = shingle_hashes(word_re.findall(text))
+            if not len(h):
+                continue
+            bucket = (h % np.uint64(m)).astype(np.int64)
+            w = h // np.uint64(m)
+            lowbit = w & (~w + np.uint64(1))
+            # log2 of an exact power of two <= 2^54 is exact in float64
+            rho = np.where(
+                w == 0, _HLL_RHO_MAX,
+                np.log2(np.maximum(lowbit, 1).astype(np.float64)).astype(np.int64) + 1,
+            ).astype(np.int64)
+            for b, r in zip(bucket, rho):
+                key = (lang, int(b))
+                if rows.get(key, 0) < r:
+                    rows[key] = int(r)
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in rows], pa.string()),
+                "bucket": pa.array([k[1] for k in rows], pa.int64()),
+                "rho": pa.array(list(rows.values()), pa.int64()),
+            }
+        )
+
+    regs = (
+        ray.data.read_parquet(_docs(sf_dir), columns=["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "bucket"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .take_all()
+    )  # <= langs * 1024 rows — fixed-size by construction
+
+    by_lang: dict[str, dict[int, int]] = {}
+    for row in regs:
+        by_lang.setdefault(row["lang"], {})[int(row["bucket"])] = int(row["rho"])
+    langs = sorted(by_lang)
+    out = {"lang": [], "used_regs": [], "max_rho": [], "est_raw": []}
+    for lang in langs:
+        r = by_lang[lang]
+        s = sum(_HLL_SCALE >> rho for rho in r.values())
+        s += (m - len(r)) * _HLL_SCALE  # empty registers: rho = 0
+        est = _HLL_ALPHA_NUM * m * m * _HLL_SCALE // (_HLL_ALPHA_DEN * s)
+        out["lang"].append(lang)
+        out["used_regs"].append(len(r))
+        out["max_rho"].append(max(r.values()) if r else 0)
+        out["est_raw"].append(est)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "used_regs": pa.array(out["used_regs"], pa.int64()),
+            "max_rho": pa.array(out["max_rho"], pa.int64()),
+            "est_raw": pa.array(out["est_raw"], pa.int64()),
+        }
+    )

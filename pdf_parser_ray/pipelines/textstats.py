@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -282,3 +283,70 @@ def quality_classifier_score(sf_dir: str):
         concurrency=default_concurrency(),
         fn_constructor_args=(weights_ref,),
     )
+
+
+def shingle_set_ops(sf_dir: str, lang_a: str = "en", lang_b: str = "de"):
+    """Distributed set operations (INTERSECT / EXCEPT) over two large
+    distinct sets: every distinct 3-token shingle of the two langs'
+    corpora classified as ``intersect`` (in both), ``only_a`` or
+    ``only_b`` — the full symmetric-difference decomposition, so
+    INTERSECT = intersect rows, A EXCEPT B = only_a rows, union = all
+    rows. Shingles (not tokens) because the corpus vocabulary is
+    shared across langs; their 3-gram combinations are not.
+
+    Shape: each block folds its text into distinct (shingle, in_a,
+    in_b) partials — set membership pre-ORed per shingle in-batch, so
+    at most one row per distinct shingle per block shuffles; a native
+    Max merges the flag columns (idempotent OR over {0,1}); a final
+    vectorized pass maps flag pairs to the class label. ONE exchange,
+    carrying each distinct shingle once per block it appears in."""
+    import ray.data
+    from ray.data.aggregate import Max
+
+    word_re = re.compile(r"[A-Za-z0-9]+")
+
+    def doc_shingles(text: str) -> set[str]:
+        toks = word_re.findall(text)
+        if not toks:
+            return set()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        seen: dict[str, list[int]] = {}
+        for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            if lang == lang_a:
+                col = 0
+            elif lang == lang_b:
+                col = 1
+            else:
+                continue
+            for sh in doc_shingles(text):
+                flags = seen.setdefault(sh, [0, 0])
+                flags[col] = 1
+        shs = sorted(seen)
+        return pa.table(
+            {
+                "shingle": pa.array(shs, pa.string()),
+                "in_a": pa.array([seen[s][0] for s in shs], pa.int64()),
+                "in_b": pa.array([seen[s][1] for s in shs], pa.int64()),
+            }
+        )
+
+    merged = (
+        ray.data.read_parquet(documents_path(sf_dir), columns=["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        a = t["in_a"].to_numpy(zero_copy_only=False)
+        b = t["in_b"].to_numpy(zero_copy_only=False)
+        op = np.where(a & b, "intersect", np.where(a == 1, "only_a", "only_b"))
+        return pa.table(
+            {"shingle": t["shingle"], "set_op": pa.array(op.tolist(), pa.string())}
+        )
+
+    return merged.map_batches(classify, batch_format="pyarrow")
