@@ -343,6 +343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_join": relational.events_interval_join,
         "hll_distinct_shingles": sketch.hll_distinct_shingles,
         "shingle_set_ops": textstats.shingle_set_ops,
+        "revenue_by_priority": relational.revenue_by_priority,
+        "funnel_counts": relational.funnel_counts,
         # -- driver-snapshotted green in r3+r4 --
         # flagship composite: extract -> quality filter -> dedup
         "curation_pipeline": curation_pipeline,
@@ -997,6 +999,45 @@ def oracle_sql() -> dict[str, str]:
                         WHEN a.shingle IS NOT NULL THEN 'only_a'
                         ELSE 'only_b' END AS set_op
             FROM a FULL OUTER JOIN b ON a.shingle = b.shingle
+        """,
+        # fact-fact join with the pre-join combiner made explicit:
+        # lineitem folds to per-orderkey revenue partials before the
+        # join; rounding is per-ROW half-up cents on both sides
+        "revenue_by_priority": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(rev) AS BIGINT) AS revenue_cents
+            FROM (
+              SELECT l_orderkey,
+                     SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                    * 100 + 0.5) AS BIGINT)) AS rev
+              FROM lineitem GROUP BY 1
+            ) l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        # greedy earliest-match funnel: each stage anchors at the
+        # earliest qualifying event strictly after the previous anchor
+        "funnel_counts": """
+            WITH s0 AS (
+              SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            s1 AS (
+              SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM events e
+              JOIN s0 ON e.user_id = s0.user_id AND epoch_us(e.ts) > s0.t
+              WHERE e.event_type = 'click' GROUP BY 1
+            ),
+            s2 AS (
+              SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM events e
+              JOIN s1 ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t
+              WHERE e.event_type = 'purchase' GROUP BY 1
+            )
+            SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+                   CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_users
+            UNION ALL SELECT 1, 'click',
+                   CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+            UNION ALL SELECT 2, 'purchase',
+                   CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
         """,
         # the removal composite: drop the larger member of every
         # verified near-dup pair (keep-smallest-id), emit survivors

@@ -1469,3 +1469,153 @@ def events_interval_join(
         .groupby("bucket")
         .map_groups(band, batch_format="pandas")
     )
+
+
+def revenue_by_priority(sf_dir: str):
+    """Pre-join COMBINER + reduce-side inner join: revenue per order
+    priority over lineitem |X| orders — the fact-fact join done the
+    scalable way. Lineitem folds to one (orderkey, revenue_cents)
+    partial per key per batch BEFORE any exchange (the join then
+    moves per-key partials, ~4x smaller than raw lineitem and
+    independent of lines-per-order skew); both sides share ONE
+    coarse-bucket shuffle; inside each bucket a vectorized merge +
+    per-priority partial keeps the final exchange at 5 rows.
+
+    Revenue is integer cents of l_extendedprice * (1 - l_discount),
+    rounded half-up per ROW before summing — order-independent and
+    bit-exact against the SQL oracle."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    n_buckets = 64
+
+    li = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def li_side(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - d) * 100.0 + 0.5).astype(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        acc = np.zeros(len(uk), np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table(
+            {
+                "bucket": pa.array((uk % n_buckets).astype(np.int32)),
+                "key": pa.array(uk, pa.int64()),
+                "o_orderpriority": pa.array([""] * len(uk), pa.string()),
+                "rev_cents": pa.array(acc, pa.int64()),
+                "is_order": pa.array(np.zeros(len(uk), np.int64)),
+            }
+        )
+
+    def order_side(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((k % n_buckets).astype(np.int32)),
+                "key": pa.array(k, pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+                "rev_cents": pa.array(np.zeros(len(k), np.int64)),
+                "is_order": pa.array(np.ones(len(k), np.int64)),
+            }
+        )
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        li_part = (
+            g[g["is_order"] == 0]
+            .groupby("key", as_index=False)["rev_cents"]
+            .sum()  # partials for the same orderkey from several batches
+        )
+        od = g.loc[g["is_order"] == 1, ["key", "o_orderpriority"]]
+        m = od.merge(li_part, on="key")
+        out = m.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("key", "size"), revenue_cents=("rev_cents", "sum")
+        )
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    return (
+        li.map_batches(li_side, batch_format="pyarrow")
+        .union(orders.map_batches(order_side, batch_format="pyarrow"))
+        .map_batches(lambda t: t, batch_format="pyarrow")  # normalize blocks
+        .groupby("bucket")
+        .map_groups(join, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_counts(sf_dir: str, stages=FUNNEL_STAGES):
+    """Ordered sequence-pattern (FUNNEL) operator: per stage, how many
+    users completed stage_0 < stage_1 < ... < stage_k in strict
+    timestamp order (the greedy earliest-match chain: each stage's
+    anchor is the EARLIEST qualifying event after the previous
+    stage's anchor — the standard product-analytics funnel
+    semantics, deterministic on ts alone).
+
+    Shape: prune to the funnel's event types at the scan, ONE
+    coarse-bucket user shuffle, then per bucket a fully vectorized
+    chain of |stages| groupby-min + merge passes (no per-user Python);
+    each bucket emits |stages| partial rows, and the final exchange
+    carries buckets x stages rows."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    stages = tuple(stages)
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(stages))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "ts_us": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        anchor = (
+            g[g["event_type"] == stages[0]].groupby("user_id")["ts_us"].min()
+        )
+        counts = [len(anchor)]
+        for s in stages[1:]:
+            prev = anchor.rename("t_prev").reset_index()  # (user_id, t_prev)
+            e = g.loc[g["event_type"] == s, ["user_id", "ts_us"]].merge(
+                prev, on="user_id"
+            )
+            anchor = e[e["ts_us"] > e["t_prev"]].groupby("user_id")["ts_us"].min()
+            counts.append(len(anchor))
+        return pd.DataFrame(
+            {
+                "stage_idx": pd.Series(range(len(stages)), dtype="int64"),
+                "stage": list(stages),
+                "n_users": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .map_batches(_with_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(funnel, batch_format="pandas")
+        .groupby(["stage_idx", "stage"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )

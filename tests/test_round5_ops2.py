@@ -170,3 +170,64 @@ def test_shingle_set_ops_decomposition_sf(ray_session):
     assert by_op.get("only_a", set()) == sets["en"] - sets["de"]
     assert by_op.get("only_b", set()) == sets["de"] - sets["en"]
     assert len(got) == len(sets["en"] | sets["de"])
+
+
+def test_revenue_by_priority_matches_bruteforce(ray_session):
+    got = (
+        relational.revenue_by_priority(SF)
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    li = pq.read_table(SF + "/lineitem.parquet").to_pandas()
+    od = pq.read_table(SF + "/orders.parquet").to_pandas()
+    li["rev"] = np.floor(
+        li["l_extendedprice"] * (1.0 - li["l_discount"]) * 100.0 + 0.5
+    ).astype("int64")
+    per_order = li.groupby("l_orderkey", as_index=False)["rev"].sum()
+    m = per_order.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    exp = (
+        m.groupby("o_orderpriority")
+        .agg(n_orders=("o_orderkey", "size"), revenue_cents=("rev", "sum"))
+        .reset_index()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    assert got["o_orderpriority"].tolist() == exp["o_orderpriority"].tolist()
+    assert got["n_orders"].tolist() == exp["n_orders"].tolist()
+    assert got["revenue_cents"].tolist() == exp["revenue_cents"].tolist()
+
+
+def test_funnel_strict_order_tiny(ray_session, tmp_path):
+    # user 1 completes the funnel in order; user 2 has all three event
+    # types but out of order (purchase before click); user 3 stops at
+    # click; user 4 views twice (anchor = earliest view)
+    _write_events(
+        tmp_path,
+        [
+            (1, 1, "view", 100), (2, 1, "click", 200), (3, 1, "purchase", 300),
+            (4, 2, "view", 100), (5, 2, "purchase", 150), (6, 2, "click", 200),
+            (7, 3, "view", 100), (8, 3, "click", 150),
+            (9, 4, "view", 500), (10, 4, "view", 100),
+        ],
+    )
+    got = (
+        relational.funnel_counts(str(tmp_path))
+        .to_pandas()
+        .sort_values("stage_idx")
+    )
+    assert got["n_users"].tolist() == [4, 3, 1]
+
+
+def test_funnel_same_ts_excluded_tiny(ray_session, tmp_path):
+    # click at exactly the view's ts does not advance (strict >)
+    _write_events(
+        tmp_path,
+        [(1, 1, "view", 100), (2, 1, "click", 100), (3, 1, "purchase", 200)],
+    )
+    got = (
+        relational.funnel_counts(str(tmp_path))
+        .to_pandas()
+        .sort_values("stage_idx")
+    )
+    assert got["n_users"].tolist() == [1, 0, 0]
