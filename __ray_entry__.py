@@ -345,6 +345,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_set_ops": textstats.shingle_set_ops,
         "revenue_by_priority": relational.revenue_by_priority,
         "funnel_counts": relational.funnel_counts,
+        "distinct_users_salted": relational.distinct_users_salted,
+        "orders_cdc_upsert": relational.orders_cdc_upsert,
+        "doc_chunks": training.doc_chunks,
         # -- driver-snapshotted green in r3+r4 --
         # flagship composite: extract -> quality filter -> dedup
         "curation_pipeline": curation_pipeline,
@@ -1038,6 +1041,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
             UNION ALL SELECT 2, 'purchase',
                    CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        """,
+        # salted exact distinct: per-salt counts are disjoint because
+        # the salt is a function of the distinct key
+        "distinct_users_salted": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
+        """,
+        # CDC merge: version-1 updates (%7) then version-2 deletes
+        # (%11), max-version-wins, tombstones filtered
+        "orders_cdc_upsert": """
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     + CASE WHEN o_orderkey % 7 = 0 THEN 12345
+                            ELSE 0 END AS total_cents,
+                   CAST(CASE WHEN o_orderkey % 7 = 0 THEN 1
+                             ELSE 0 END AS BIGINT) AS version
+            FROM orders WHERE o_orderkey % 11 <> 0
+        """,
+        # sliding token windows; single-space split matches the Ray
+        # side's text.split(' ') exactly, so chunk TEXT is hash-checked
+        "doc_chunks": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            starts AS (
+              SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s
+              FROM toks
+            )
+            SELECT doc_id,
+                   CAST(s / 48 AS BIGINT) AS chunk_id,
+                   CAST(least(s + 64, len(t)) - s AS BIGINT)
+                     AS n_chunk_tokens,
+                   array_to_string(t[s + 1 : least(s + 64, len(t))], ' ')
+                     AS chunk_text
+            FROM starts
         """,
         # the removal composite: drop the larger member of every
         # verified near-dup pair (keep-smallest-id), emit survivors

@@ -89,6 +89,14 @@ BENCH_QUERIES = (
     "semantic_dedup",
     "heavy_hitters",
     "cms_token_counts",
+    "events_interval_join",
+    "hll_distinct_shingles",
+    "shingle_set_ops",
+    "revenue_by_priority",
+    "funnel_counts",
+    "distinct_users_salted",
+    "orders_cdc_upsert",
+    "doc_chunks",
 )
 
 

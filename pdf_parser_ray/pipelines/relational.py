@@ -1619,3 +1619,133 @@ def funnel_counts(sf_dir: str, stages=FUNNEL_STAGES):
         .groupby(["stage_idx", "stage"])
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def distinct_users_salted(sf_dir: str, n_salts: int = 64):
+    """Exact COUNT(DISTINCT user_id) per event_type under HOT-KEY
+    skew, the salted two-phase way. event_type has ~5 values over
+    millions of events — a naive groupby(event_type) + per-group
+    distinct would funnel every event of the hottest type through one
+    reducer. Salting by a function OF THE DISTINCT KEY
+    (user_id % n_salts) keeps the count exact: every copy of a
+    (event_type, user_id) pair lands in exactly one salt, so per-salt
+    distinct counts are disjoint and their Sum is the true distinct
+    count. The exchange carries in-batch-deduped (salt, event_type,
+    user_id) triples — the hot type's distinct work spreads over
+    n_salts reducers, each holding ~n_users/n_salts ids. At fleet
+    scale raise n_salts with cluster size; the final exchange is
+    n_salts x |event_type| partial rows."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_type", "user_id"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        # in-batch dedup before the shuffle: ships each pair once per
+        # batch no matter how many events repeat it
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        salt = (df["user_id"].to_numpy() % n_salts).astype(np.int32)
+        return pa.table(
+            {
+                "salt": pa.array(salt),
+                "event_type": pa.array(df["event_type"], pa.string()),
+                "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_salt(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        out = d.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        return out[["event_type", "n_users"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(per_salt, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+def orders_cdc_upsert(sf_dir: str, n_buckets: int = 64):
+    """CDC / MERGE (upsert + delete) — apply a change log to a base
+    snapshot and emit the final table state, the reduce-side way.
+    The change log is synthesized deterministically from the base so
+    the oracle can restate it: version 1 UPDATEs orders with
+    o_orderkey % 7 == 0 (total_cents += 12345), version 2 DELETEs
+    orders with o_orderkey % 11 == 0. Resolution is max-version-wins
+    then tombstone filtering — the standard log-structured merge
+    rule.
+
+    Shape: base and change rows ride ONE coarse-bucket exchange keyed
+    by o_orderkey % n_buckets; inside each bucket a vectorized
+    sort + keep-last resolves every key with no per-key Python. The
+    driver never sees the table; at fleet scale n_buckets rises with
+    the cluster and per-bucket state is |keys|/n_buckets rows.
+
+    total_cents uses the repo-wide half-up integer-cents rule so the
+    hash check is bit-exact."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def emit_log(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        upd = k % 7 == 0
+        dele = k % 11 == 0
+        keys = np.concatenate([k, k[upd], k[dele]])
+        vals = np.concatenate(
+            [cents, cents[upd] + 12345, np.zeros(int(dele.sum()), np.int64)]
+        )
+        vers = np.concatenate(
+            [
+                np.zeros(len(k), np.int64),
+                np.full(int(upd.sum()), 1, np.int64),
+                np.full(int(dele.sum()), 2, np.int64),
+            ]
+        )
+        tomb = np.concatenate(
+            [
+                np.zeros(len(k), np.int64),
+                np.zeros(int(upd.sum()), np.int64),
+                np.ones(int(dele.sum()), np.int64),
+            ]
+        )
+        return pa.table(
+            {
+                "bucket": pa.array((keys % n_buckets).astype(np.int32)),
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "total_cents": pa.array(vals, pa.int64()),
+                "version": pa.array(vers, pa.int64()),
+                "tombstone": pa.array(tomb, pa.int64()),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderkey", "version"])
+        last = g.drop_duplicates("o_orderkey", keep="last")
+        live = last[last["tombstone"] == 0]
+        return live[["o_orderkey", "total_cents", "version"]].reset_index(
+            drop=True
+        )
+
+    return (
+        ds.map_batches(emit_log, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+    )

@@ -1519,3 +1519,51 @@ def url_canonicalize(sf_dir: str):
         )
 
     return ds.map_batches(canon, batch_format="pandas")
+
+
+def doc_chunks(sf_dir: str, chunk_size: int = 64, stride: int = 48):
+    """RAG-style overlapping token-window chunking: split every
+    document into fixed-size token windows (chunk_size tokens, stride
+    tokens apart, so consecutive chunks overlap by
+    chunk_size - stride) and emit the chunk TEXT plus its token
+    count — the retrieval-corpus preparation step that precedes
+    embedding.
+
+    Tokenization is single-space split (the corpus is single-space
+    separated), chosen because DuckDB's ``string_split(text, ' ')``
+    has identical semantics, making the chunk text itself — not just
+    counts — bit-exact against the SQL oracle. Chunk starts are
+    0, stride, 2*stride, ... while start < n_tokens; the final chunk
+    may be short (standard sliding-window rule).
+
+    Shape: a pure per-document ``map_batches`` explosion — no shuffle
+    at all; chunks stream straight to the consumer, so the operator's
+    cost is one corpus scan regardless of scale. The per-document
+    loop is the accepted vectorization granularity (unit of work =
+    one document; column I/O stays Arrow)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_cid, out_n, out_text = [], [], [], []
+        for i, txt in zip(ids, t["text"].to_pylist()):
+            toks = txt.split(" ")
+            n = len(toks)
+            for s in range(0, n, stride):
+                piece = toks[s : s + chunk_size]
+                out_id.append(i)
+                out_cid.append(s // stride)
+                out_n.append(len(piece))
+                out_text.append(" ".join(piece))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_id": pa.array(out_cid, pa.int64()),
+                "n_chunk_tokens": pa.array(out_n, pa.int64()),
+                "chunk_text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

@@ -1,0 +1,177 @@
+"""Round-5 additions #3: salted exact distinct count, CDC upsert/merge,
+and RAG-style overlapping token-window chunking — tiny-corpus exactness
+plus invariants against pure-Python recomputation on the real testdata."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdf_parser_ray.pipelines import relational, training
+
+SF = "/root/testdata/sf0.001"
+_US = 1_000_000
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, user_id, event_type)."""
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+
+def _write_orders(tmp_path, rows):
+    """rows: (o_orderkey, o_totalprice)."""
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+
+
+def _write_docs(tmp_path, rows):
+    """rows: (doc_id, text)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+
+# -- distinct_users_salted ------------------------------------------------
+
+
+def test_salted_distinct_tiny_exact(ray_session, tmp_path):
+    # user 5 repeats within and across types; the salted two-phase
+    # count must still be exactly COUNT(DISTINCT user_id) per type
+    _write_events(
+        tmp_path,
+        [
+            (1, 5, "view"),
+            (2, 5, "view"),
+            (3, 6, "view"),
+            (4, 5, "click"),
+            (5, 70, "click"),  # same salt as 6 at n_salts=64
+            (6, 6, "click"),
+            (7, 5, "purchase"),
+        ],
+    )
+    got = (
+        relational.distinct_users_salted(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")["n_users"]
+        .to_dict()
+    )
+    assert got == {"view": 2, "click": 3, "purchase": 1}
+
+
+def test_salted_distinct_matches_pandas_on_testdata(ray_session):
+    got = (
+        relational.distinct_users_salted(SF)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(
+        SF + "/events.parquet", columns=["event_type", "user_id"]
+    ).to_pandas()
+    want = (
+        ev.groupby("event_type")["user_id"]
+        .nunique()
+        .rename("n_users")
+        .reset_index()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert list(got["event_type"]) == list(want["event_type"])
+    assert list(got["n_users"]) == list(want["n_users"])
+
+
+# -- orders_cdc_upsert -----------------------------------------------------
+
+
+def test_cdc_upsert_tiny_semantics(ray_session, tmp_path):
+    # key 7: updated; key 11: deleted; key 77: updated THEN deleted
+    # (delete wins, max-version rule); key 3: untouched base row
+    _write_orders(
+        tmp_path, [(3, 10.0), (7, 20.0), (11, 30.0), (77, 40.0)]
+    )
+    got = (
+        relational.orders_cdc_upsert(str(tmp_path))
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert list(got["o_orderkey"]) == [3, 7]
+    assert list(got["total_cents"]) == [1000, 2000 + 12345]
+    assert list(got["version"]) == [0, 1]
+
+
+def test_cdc_upsert_counts_on_testdata(ray_session):
+    got = relational.orders_cdc_upsert(SF).to_pandas()
+    orders = pq.read_table(
+        SF + "/orders.parquet", columns=["o_orderkey"]
+    ).to_pandas()
+    k = orders["o_orderkey"].to_numpy()
+    live = k[k % 11 != 0]
+    assert len(got) == len(live)
+    assert set(got["o_orderkey"]) == set(live)
+    # every surviving %7 key carries version 1, others version 0
+    v = got.set_index("o_orderkey")["version"]
+    assert (v[v.index % 7 == 0] == 1).all()
+    assert (v[v.index % 7 != 0] == 0).all()
+
+
+# -- doc_chunks ------------------------------------------------------------
+
+
+def test_doc_chunks_tiny_windows(ray_session, tmp_path):
+    toks = [f"t{i}" for i in range(10)]
+    _write_docs(tmp_path, [(1, " ".join(toks)), (2, "solo")])
+    got = (
+        training.doc_chunks(str(tmp_path), chunk_size=4, stride=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d1 = got[got["doc_id"] == 1]
+    # starts 0,3,6,9 -> windows [0:4],[3:7],[6:10],[9:10]
+    assert list(d1["chunk_id"]) == [0, 1, 2, 3]
+    assert list(d1["n_chunk_tokens"]) == [4, 4, 4, 1]
+    assert list(d1["chunk_text"]) == [
+        "t0 t1 t2 t3",
+        "t3 t4 t5 t6",
+        "t6 t7 t8 t9",
+        "t9",
+    ]
+    d2 = got[got["doc_id"] == 2]
+    assert list(d2["chunk_text"]) == ["solo"]
+
+
+def test_doc_chunks_cover_and_overlap_on_testdata(ray_session):
+    got = training.doc_chunks(SF).to_pandas()
+    docs = pq.read_table(
+        SF + "/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    n_tok = docs.set_index("doc_id")["text"].str.split(" ").map(len)
+    # chunk count per doc = ceil(n / stride)
+    want_chunks = (-(-n_tok // 48)).astype(int)
+    per_doc = got.groupby("doc_id")["chunk_id"].count()
+    assert per_doc.sort_index().tolist() == want_chunks.sort_index().tolist()
+    # reconstructing from stride-aligned prefixes reproduces each doc:
+    # every chunk's first stride tokens are disjoint and in order
+    one = docs.iloc[0]
+    chunks = got[got["doc_id"] == one["doc_id"]].sort_values("chunk_id")
+    rebuilt = " ".join(
+        " ".join(c.split(" ")[:48]) for c in chunks["chunk_text"]
+    )
+    assert rebuilt == one["text"]
