@@ -348,6 +348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_salted": relational.distinct_users_salted,
         "orders_cdc_upsert": relational.orders_cdc_upsert,
         "doc_chunks": training.doc_chunks,
+        "doc_global_rank": relational.doc_global_rank,
+        "snapshot_diff": relational.snapshot_diff,
         # -- driver-snapshotted green in r3+r4 --
         # flagship composite: extract -> quality filter -> dedup
         "curation_pipeline": curation_pipeline,
@@ -1077,6 +1079,25 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[s + 1 : least(s + 64, len(t))], ' ')
                      AS chunk_text
             FROM starts
+        """,
+        # global ROW_NUMBER via histogram + prefix offsets
+        "doc_global_rank": """
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS rank
+            FROM documents
+        """,
+        # snapshot delta: B drops %13, edits %17 survivors, adds %19
+        # offspring at doc_id + 1000000 (SNAPSHOT_ADD_OFFSET)
+        "snapshot_diff": """
+            SELECT doc_id, 'removed' AS change FROM documents
+            WHERE doc_id % 13 = 0
+            UNION ALL
+            SELECT doc_id, 'changed' FROM documents
+            WHERE doc_id % 13 <> 0 AND doc_id % 17 = 0
+            UNION ALL
+            SELECT doc_id + 1000000, 'added' FROM documents
+            WHERE doc_id % 19 = 0
         """,
         # the removal composite: drop the larger member of every
         # verified near-dup pair (keep-smallest-id), emit survivors

@@ -97,6 +97,8 @@ BENCH_QUERIES = (
     "distinct_users_salted",
     "orders_cdc_upsert",
     "doc_chunks",
+    "doc_global_rank",
+    "snapshot_diff",
 )
 
 

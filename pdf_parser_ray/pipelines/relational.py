@@ -1749,3 +1749,164 @@ def orders_cdc_upsert(sf_dir: str, n_buckets: int = 64):
         .groupby("bucket")
         .map_groups(resolve, batch_format="pandas")
     )
+
+
+def doc_global_rank(sf_dir: str, width: int = 16):
+    """GLOBAL ROW_NUMBER (no partition key) — rank every document by
+    (n_chars, doc_id) across the whole corpus without a global sort:
+    the two-pass histogram + prefix-offset pattern. Pass 1 counts
+    rows per coarse value range (n_chars // width); the driver turns
+    the ~max_chars/width histogram rows into exclusive prefix
+    offsets (O(ranges), never O(rows)); pass 2 co-locates each range
+    in one exchange, sorts locally, and adds the range's offset.
+
+    This is the scalable ORDER BY + ROW_NUMBER: only range COUNTS
+    cross the driver, each reducer sorts rows/n_ranges rows, and the
+    exchange is one bucket shuffle instead of a global sort's
+    range-exchange + merge. At fleet scale pick the boundaries from a
+    sample instead of a fixed width (same shape, balanced ranges)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "n_chars"]
+    )
+
+    def with_range(t: pa.Table) -> pa.Table:
+        rng = pc.divide(
+            t["n_chars"].cast(pa.int64()), pa.scalar(width, pa.int64())
+        )
+        return pa.table(
+            {
+                "rng": rng.cast(pa.int32()),
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    ranged = ds.map_batches(with_range, batch_format="pyarrow")
+    # pass 1: histogram — O(n_ranges) rows ever reach the driver
+    hist = ranged.groupby("rng").aggregate(Count(alias_name="n")).take_all()
+    hist.sort(key=lambda r: r["rng"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in hist:
+        offsets[int(r["rng"])] = acc
+        acc += int(r["n"])
+
+    def rank_range(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        base = offsets[int(g["rng"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "n_chars": g["n_chars"].astype("int64"),
+                "rank": pd.RangeIndex(base + 1, base + 1 + len(g)).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    # pass 2: one bucket exchange, local sort + offset per range
+    return ranged.groupby("rng").map_groups(rank_range, batch_format="pandas")
+
+
+SNAPSHOT_ADD_OFFSET = 1_000_000
+
+
+def snapshot_diff(sf_dir: str, n_buckets: int = 64):
+    """Snapshot DELTA — classify every key across two corpus versions
+    as added / removed / changed by comparing content hashes, the way
+    a crawl-over-crawl diff or a dataset-regression check runs.
+    Snapshot B is synthesized deterministically from the base so the
+    oracle can restate the classification: doc_id % 13 == 0 rows are
+    dropped (removed), % 17 == 0 survivors get edited text (changed),
+    and % 19 == 0 rows spawn a brand-new doc at
+    doc_id + SNAPSHOT_ADD_OFFSET (added).
+
+    Shape: both sides fold to (bucket, doc_id, side, text_hash) rows
+    — the text itself never crosses the exchange — then ONE
+    coarse-bucket shuffle and a vectorized per-bucket outer-compare.
+    Unchanged keys are dropped in-bucket, so the output is delta-sized
+    regardless of corpus size."""
+    import ray.data
+
+    from ..functions.hashing import fnv1a64
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def hash_col(ids, texts):
+        return np.fromiter(
+            (fnv1a64(t.encode()) - (1 << 63) for t in texts),
+            np.int64,
+            len(ids),
+        )
+
+    def emit_sides(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        h = hash_col(ids, texts)
+        # side A: the base snapshot, verbatim
+        keys = [ids]
+        sides = [np.zeros(len(ids), np.int64)]
+        hashes = [h]
+        # side B: drop %13, edit %17 survivors, add %19 offspring
+        keep = ids % 13 != 0
+        edit = keep & (ids % 17 == 0)
+        h_b = h.copy()
+        if edit.any():
+            h_b[edit] = hash_col(
+                ids[edit], [texts[i] + " v2" for i in np.flatnonzero(edit)]
+            )
+        keys.append(ids[keep])
+        sides.append(np.ones(int(keep.sum()), np.int64))
+        hashes.append(h_b[keep])
+        new = ids % 19 == 0
+        if new.any():
+            new_ids = ids[new] + SNAPSHOT_ADD_OFFSET
+            keys.append(new_ids)
+            sides.append(np.ones(len(new_ids), np.int64))
+            hashes.append(
+                hash_col(
+                    new_ids, [texts[i] + " new" for i in np.flatnonzero(new)]
+                )
+            )
+        k = np.concatenate(keys)
+        return pa.table(
+            {
+                "bucket": pa.array((k % n_buckets).astype(np.int32)),
+                "doc_id": pa.array(k, pa.int64()),
+                "side": pa.array(np.concatenate(sides), pa.int64()),
+                "h": pa.array(np.concatenate(hashes), pa.int64()),
+            }
+        )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0].set_index("doc_id")["h"]
+        b = g[g["side"] == 1].set_index("doc_id")["h"]
+        removed = a.index.difference(b.index)
+        added = b.index.difference(a.index)
+        both = a.index.intersection(b.index)
+        changed = both[(a.loc[both] != b.loc[both]).to_numpy()]
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(
+                    [
+                        removed.to_numpy(np.int64),
+                        added.to_numpy(np.int64),
+                        changed.to_numpy(np.int64),
+                    ]
+                ),
+                "change": ["removed"] * len(removed)
+                + ["added"] * len(added)
+                + ["changed"] * len(changed),
+            }
+        )
+
+    return (
+        ds.map_batches(emit_sides, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(classify, batch_format="pandas")
+    )

@@ -175,3 +175,58 @@ def test_doc_chunks_cover_and_overlap_on_testdata(ray_session):
         " ".join(c.split(" ")[:48]) for c in chunks["chunk_text"]
     )
     assert rebuilt == one["text"]
+
+
+# -- doc_global_rank ---------------------------------------------------------
+
+
+def test_global_rank_tiny_dense(ray_session, tmp_path):
+    # ties on n_chars break by doc_id; ranks are a dense 1..n
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 9, 2], pa.int64()),
+            "n_chars": pa.array([30, 30, 7, 100], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = (
+        relational.doc_global_rank(str(tmp_path), width=8)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [9, 1, 5, 2]
+    assert list(got["rank"]) == [1, 2, 3, 4]
+
+
+def test_global_rank_matches_pandas_on_testdata(ray_session):
+    got = relational.doc_global_rank(SF).to_pandas()
+    docs = pq.read_table(
+        SF + "/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pandas()
+    want = docs.sort_values(["n_chars", "doc_id"], kind="mergesort")
+    want["rank"] = np.arange(1, len(want) + 1)
+    m = got.merge(want[["doc_id", "rank"]], on="doc_id", suffixes=("", "_w"))
+    assert (m["rank"] == m["rank_w"]).all()
+    assert sorted(got["rank"]) == list(range(1, len(got) + 1))
+
+
+# -- snapshot_diff -----------------------------------------------------------
+
+
+def test_snapshot_diff_classes_on_testdata(ray_session):
+    got = relational.snapshot_diff(SF).to_pandas()
+    ids = pq.read_table(
+        SF + "/documents.parquet", columns=["doc_id"]
+    ).to_pandas()["doc_id"].to_numpy()
+    want_removed = set(ids[ids % 13 == 0])
+    want_changed = set(ids[(ids % 13 != 0) & (ids % 17 == 0)])
+    want_added = set(
+        ids[ids % 19 == 0] + relational.SNAPSHOT_ADD_OFFSET
+    )
+    by = got.groupby("change")["doc_id"].apply(set).to_dict()
+    assert by.get("removed", set()) == want_removed
+    assert by.get("changed", set()) == want_changed
+    assert by.get("added", set()) == want_added
+    # delta-sized: unchanged keys never appear
+    assert len(got) == len(want_removed) + len(want_changed) + len(want_added)
