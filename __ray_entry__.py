@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": training.doc_chunks,
         "doc_global_rank": relational.doc_global_rank,
         "snapshot_diff": relational.snapshot_diff,
+        "image_resize_thumbs": multimodal.image_resize_thumbs,
         # -- driver-snapshotted green in r3+r4 --
         # flagship composite: extract -> quality filter -> dedup
         "curation_pipeline": curation_pipeline,
@@ -1079,6 +1080,22 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[s + 1 : least(s + 64, len(t))], ' ')
                      AS chunk_text
             FROM starts
+        """,
+        # real PNG decode + integer nearest-neighbor 8x8 resize; the
+        # thumbnail checksum is pure integer math over the gradient
+        "image_resize_thumbs": """
+            SELECT d.doc_id,
+                   CAST(16 + d.doc_id % 16 AS BIGINT) AS width,
+                   CAST(16 + d.doc_id % 8 AS BIGINT) AS height,
+                   CAST(SUM((8 * i.i + j.j + 1) *
+                        ((11 * d.doc_id
+                          + 3 * ((j.j * (16 + d.doc_id % 16)) // 8)
+                          + 7 * ((i.i * (16 + d.doc_id % 8)) // 8))
+                         % 256)) AS BIGINT) AS thumb_wsum
+            FROM documents d,
+                 generate_series(0, 7) AS i(i),
+                 generate_series(0, 7) AS j(j)
+            GROUP BY 1
         """,
         # global ROW_NUMBER via histogram + prefix offsets
         "doc_global_rank": """

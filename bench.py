@@ -99,6 +99,7 @@ BENCH_QUERIES = (
     "doc_chunks",
     "doc_global_rank",
     "snapshot_diff",
+    "image_resize_thumbs",
 )
 
 

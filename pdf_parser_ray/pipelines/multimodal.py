@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 
 from .extract_pipeline import default_concurrency
@@ -662,5 +663,68 @@ def pdf_ccitt_image_stats(sf_dir: str):
     )
     return ds.map_batches(
         CcittImageStats, batch_format="pyarrow", batch_size=64,
+        concurrency=default_concurrency(),
+    )
+
+
+class ImageResizer:
+    """Image RESIZE stage (actor pool) — the decode -> resize ->
+    feature step of a multimodal curation pipeline, run with the
+    repo's real from-spec PNG codec (no stubs). Each doc carries a
+    deterministic greyscale gradient image (pixel(x, y) =
+    (11*d + 3*x + 7*y) % 256 at w = 16 + d % 16, h = 16 + d % 8);
+    the stage PNG-encodes it, decodes it back (the real work a crawl
+    corpus would do), nearest-neighbor resizes to a fixed 8x8
+    thumbnail (src = (i*h)//8, (j*w)//8 — pure integer math so the
+    oracle restates it), and emits the thumbnail's position-weighted
+    checksum. Resize is vectorized numpy per image; batch_size is
+    kept small because payloads are binary."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.png import decode_png, encode_png
+
+        out = 8
+        ids, ws, hs, sums = [], [], [], []
+        for d in batch["doc_id"].to_pylist():
+            w = 16 + d % 16
+            h = 16 + d % 8
+            xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+            px = ((11 * d + 3 * xs + 7 * ys) % 256).astype(np.uint8)
+            gw, gh, ch, raw = decode_png(
+                encode_png(px.tobytes(), w, h, channels=1)
+            )
+            if (gw, gh, ch) != (w, h, 1):
+                raise ValueError(f"png roundtrip mismatch for doc {d}")
+            img = np.frombuffer(raw, np.uint8).reshape(h, w)
+            sy = (np.arange(out) * h) // out
+            sx = (np.arange(out) * w) // out
+            thumb = img[np.ix_(sy, sx)].astype(np.int64)
+            weights = np.arange(1, out * out + 1).reshape(out, out)
+            ids.append(d)
+            ws.append(w)
+            hs.append(h)
+            sums.append(int((thumb * weights).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "thumb_wsum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def image_resize_thumbs(sf_dir: str):
+    """PNG decode + nearest-neighbor 8x8 thumbnail resize over the
+    documents table (doc_id-only pruned read, actor pool)."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return ds.map_batches(
+        ImageResizer, batch_format="pyarrow", batch_size=128,
         concurrency=default_concurrency(),
     )

@@ -230,3 +230,39 @@ def test_snapshot_diff_classes_on_testdata(ray_session):
     assert by.get("added", set()) == want_added
     # delta-sized: unchanged keys never appear
     assert len(got) == len(want_removed) + len(want_changed) + len(want_added)
+
+
+# -- image_resize_thumbs -----------------------------------------------------
+
+
+def test_image_resize_tiny_exact(ray_session, tmp_path):
+    # doc 0: w=16, h=16 -> thumb samples rows/cols 0,2,4,...,14
+    _write_docs(tmp_path, [(0, "x")])
+    from pdf_parser_ray.pipelines import multimodal
+
+    got = multimodal.image_resize_thumbs(str(tmp_path)).to_pandas()
+    assert list(got["width"]) == [16] and list(got["height"]) == [16]
+    want = 0
+    for i in range(8):
+        for j in range(8):
+            want += (8 * i + j + 1) * ((3 * (2 * j) + 7 * (2 * i)) % 256)
+    assert list(got["thumb_wsum"]) == [want]
+
+
+def test_image_resize_real_decode_path(ray_session, tmp_path):
+    # the stage must go through the real PNG codec: corrupting the
+    # encoder's output is caught by the roundtrip dim check, so here
+    # just verify a non-square doc id hits the integer src mapping
+    _write_docs(tmp_path, [(3, "x")])
+    from pdf_parser_ray.pipelines import multimodal
+    import numpy as np
+
+    got = multimodal.image_resize_thumbs(str(tmp_path)).to_pandas()
+    d, w, h = 3, 16 + 3 % 16, 16 + 3 % 8
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    img = (11 * d + 3 * xs + 7 * ys) % 256
+    sy = (np.arange(8) * h) // 8
+    sx = (np.arange(8) * w) // 8
+    thumb = img[np.ix_(sy, sx)]
+    want = int((thumb * np.arange(1, 65).reshape(8, 8)).sum())
+    assert list(got["thumb_wsum"]) == [want]
