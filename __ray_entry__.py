@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_global_rank": relational.doc_global_rank,
         "snapshot_diff": relational.snapshot_diff,
         "image_resize_thumbs": multimodal.image_resize_thumbs,
+        "html_outlinks": multimodal.html_outlinks,
         # -- driver-snapshotted green in r3+r4 --
         # flagship composite: extract -> quality filter -> dedup
         "curation_pipeline": curation_pipeline,
@@ -1080,6 +1081,20 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[s + 1 : least(s + 64, len(t))], ' ')
                      AS chunk_text
             FROM starts
+        """,
+        # real <a href> scan (comment/script decoys skipped); targets
+        # restated from the deterministic synthesis rule
+        "html_outlinks": """
+            WITH l AS (
+              SELECT doc_id,
+                     unnest(range(0, 1 + doc_id % 5)) AS k
+              FROM documents
+            )
+            SELECT doc_id, CAST(k AS BIGINT) AS link_idx,
+                   'https://site' || ((doc_id + k) % 97)
+                     || '.example/doc/'
+                     || ((doc_id * 31 + k * 17) % 100000) AS href
+            FROM l
         """,
         # real PNG decode + integer nearest-neighbor 8x8 resize; the
         # thumbnail checksum is pure integer math over the gradient

@@ -100,6 +100,7 @@ BENCH_QUERIES = (
     "doc_global_rank",
     "snapshot_diff",
     "image_resize_thumbs",
+    "html_outlinks",
 )
 
 

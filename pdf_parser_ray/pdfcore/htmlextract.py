@@ -358,3 +358,69 @@ def extract_main_content(buf: bytes) -> bytes:
     else:
         selected = [text for text, pth, _ in lines if best_id in pth]
     return "\n".join(selected).encode("utf-8")
+
+
+_HREF_RE = re.compile(
+    rb"(?:^|\s)href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))",
+    re.IGNORECASE,
+)
+
+
+def extract_outlinks(buf: bytes) -> list[str]:
+    """All <a href=...> targets in document order — the link-graph
+    extraction step of a crawl pipeline. Shares the text extractor's
+    scan rules: comments / CDATA / doctype are skipped, rawtext
+    elements (script, style, textarea, title) hide their contents, and
+    double-quoted / single-quoted / unquoted attribute forms are all
+    accepted. Values are entity-decoded (href="a&amp;b" -> "a&b").
+    Unlike text extraction, suppressed containers do NOT hide links —
+    nav/footer links are real outlinks to a crawler."""
+    out: list[str] = []
+    i = 0
+    n = len(buf)
+    while i < n:
+        lt = buf.find(b"<", i)
+        if lt == -1:
+            break
+        nxt = buf[lt + 1 : lt + 2]
+        if not (nxt.isalpha() or nxt in (b"/", b"!", b"?")):
+            i = lt + 1
+            continue
+        if buf.startswith(b"<!--", lt):
+            end = buf.find(b"-->", lt + 4)
+            i = n if end == -1 else end + 3
+            continue
+        if buf.startswith(b"<![CDATA[", lt):
+            end = buf.find(b"]]>", lt + 9)
+            i = n if end == -1 else end + 3
+            continue
+        if buf.startswith(b"<!", lt) or buf.startswith(b"<?", lt):
+            end = buf.find(b">", lt + 2)
+            i = n if end == -1 else end + 1
+            continue
+        gt = buf.find(b">", lt + 1)
+        if gt == -1:
+            break
+        tag_body = buf[lt + 1 : gt]
+        i = gt + 1
+        closing = tag_body.startswith(b"/")
+        if closing:
+            tag_body = tag_body[1:]
+        m = _TAG_NAME_RE.match(tag_body)
+        if m is None:
+            continue
+        name = m.group(0).decode("ascii").lower()
+        if not closing and name in _RAWTEXT:
+            close = re.compile(
+                rb"</" + name.encode() + rb"\s*>", re.IGNORECASE
+            ).search(buf, i)
+            i = n if close is None else close.end()
+            continue
+        if closing or name != "a":
+            continue
+        hm = _HREF_RE.search(tag_body[m.end() :])
+        if hm is None:
+            continue
+        raw = next(g for g in hm.groups() if g is not None)
+        out.append(_htmlmod.unescape(_decode_bytes(raw)))
+    return out

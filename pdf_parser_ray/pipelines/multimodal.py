@@ -728,3 +728,70 @@ def image_resize_thumbs(sf_dir: str):
         ImageResizer, batch_format="pyarrow", batch_size=128,
         concurrency=default_concurrency(),
     )
+
+
+class OutlinkExtractor:
+    """Outlink (link-graph) extraction stage: each doc carries a
+    deterministic HTML page bearing 1 + d % 5 anchor links in mixed
+    quoting styles plus decoy links inside a comment and a script
+    block (which the real scanner must skip); the stage runs
+    ``pdfcore.htmlextract.extract_outlinks`` and emits one row per
+    link in document order — the crawl step that feeds
+    ``link_pagerank``-class graph queries."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.htmlextract import extract_outlinks
+
+        ids, idxs, hrefs = [], [], []
+        for d in batch["doc_id"].to_pylist():
+            anchors = []
+            for k in range(1 + d % 5):
+                href = (
+                    f"https://site{(d + k) % 97}.example/doc/"
+                    f"{(d * 31 + k * 17) % 100000}"
+                )
+                q = (d + k) % 3
+                if q == 0:
+                    a = f'<a href="{href}">l{k}</a>'
+                elif q == 1:
+                    a = f"<a href='{href}'>l{k}</a>"
+                else:
+                    a = f"<a href={href}>l{k}</a>"
+                anchors.append(a)
+            page = (
+                f"<html><head><title>d{d}</title>"
+                "<script>var s = '<a href=\"https://decoy/script\">';</script>"
+                "</head><body><!-- <a href=\"https://decoy/comment\"> -->"
+                f"<nav>{anchors[0]}</nav><p>{''.join(anchors[1:])}</p>"
+                "</body></html>"
+            ).encode("utf-8")
+            links = extract_outlinks(page)
+            if len(links) != 1 + d % 5:
+                raise ValueError(f"outlink count mismatch for doc {d}")
+            for k, href in enumerate(links):
+                ids.append(d)
+                idxs.append(k)
+                hrefs.append(href)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "link_idx": pa.array(idxs, pa.int64()),
+                "href": pa.array(hrefs, pa.string()),
+            }
+        )
+
+
+def html_outlinks(sf_dir: str):
+    """Link-graph extraction over the documents table (doc_id-only
+    pruned read, actor pool)."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return ds.map_batches(
+        OutlinkExtractor, batch_format="pyarrow", batch_size=128,
+        concurrency=default_concurrency(),
+    )

@@ -266,3 +266,49 @@ def test_image_resize_real_decode_path(ray_session, tmp_path):
     thumb = img[np.ix_(sy, sx)]
     want = int((thumb * np.arange(1, 65).reshape(8, 8)).sum())
     assert list(got["thumb_wsum"]) == [want]
+
+
+# -- extract_outlinks / html_outlinks ----------------------------------------
+
+
+def test_extract_outlinks_scanner_rules():
+    from pdf_parser_ray.pdfcore.htmlextract import extract_outlinks
+
+    h = (
+        b"<html><body>"
+        b'<!-- <a href="https://decoy/comment"> -->'
+        b"<script>var a = '<a href=\"https://decoy/script\">';</script>"
+        b'<nav><a href="https://x/1">one</a></nav>'
+        b"<p><a href='https://x/2&amp;q'>two</a>"
+        b"<a href=unq/3>three</a>"
+        b"<a name=anchor>no href</a></p></body></html>"
+    )
+    assert extract_outlinks(h) == ["https://x/1", "https://x/2&q", "unq/3"]
+
+
+def test_extract_outlinks_truncated_and_cdata():
+    from pdf_parser_ray.pdfcore.htmlextract import extract_outlinks
+
+    assert extract_outlinks(b'<![CDATA[<a href="no">]]><a href="y">') == ["y"]
+    assert extract_outlinks(b'<a href="z"') == []  # truncated tag drops
+
+
+def test_html_outlinks_pipeline(ray_session, tmp_path):
+    from pdf_parser_ray.pipelines import multimodal
+
+    _write_docs(tmp_path, [(0, "x"), (7, "y")])
+    got = (
+        multimodal.html_outlinks(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_id", "link_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(got[got["doc_id"] == 0]["href"]) == [
+        "https://site0.example/doc/0"
+    ]
+    d7 = got[got["doc_id"] == 7]
+    assert len(d7) == 1 + 7 % 5
+    assert list(d7["href"]) == [
+        f"https://site{(7 + k) % 97}.example/doc/{(7 * 31 + k * 17) % 100000}"
+        for k in range(3)
+    ]
