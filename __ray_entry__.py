@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": relational.snapshot_diff,
         "image_resize_thumbs": multimodal.image_resize_thumbs,
         "html_outlinks": multimodal.html_outlinks,
+        "charset_detect": multimodal.charset_detect,
         # -- round-5 ops outside the 50-row window: each has a heavy
         # dedicated pytest suite (crypt/ccitt/gif/mp3/sketch) plus the
         # local full-tree oracle sweeps recorded in BASELINE.md --
@@ -1086,6 +1087,22 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[s + 1 : least(s + 64, len(t))], ' ')
                      AS chunk_text
             FROM starts
+        """,
+        # charset sniff over five deterministic encodings; corpus text
+        # is pure ASCII so char length == byte length in the size math
+        "charset_detect": """
+            SELECT doc_id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'ascii' WHEN 1 THEN 'utf-8'
+                     WHEN 2 THEN 'utf-8-bom' WHEN 3 THEN 'utf-16'
+                     ELSE 'latin-1' END AS charset,
+                   CAST(CASE doc_id % 5
+                     WHEN 0 THEN length(text)
+                     WHEN 1 THEN length(text) + 2
+                     WHEN 2 THEN length(text) + 3
+                     WHEN 3 THEN 2 * length(text) + 2
+                     ELSE length(text) + 1 END AS BIGINT) AS payload_bytes
+            FROM documents
         """,
         # real <a href> scan (comment/script decoys skipped); targets
         # restated from the deterministic synthesis rule

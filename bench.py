@@ -101,6 +101,7 @@ BENCH_QUERIES = (
     "snapshot_diff",
     "image_resize_thumbs",
     "html_outlinks",
+    "charset_detect",
 )
 
 

@@ -424,3 +424,26 @@ def extract_outlinks(buf: bytes) -> list[str]:
         raw = next(g for g in hm.groups() if g is not None)
         out.append(_htmlmod.unescape(_decode_bytes(raw)))
     return out
+
+
+def detect_charset(buf: bytes) -> str:
+    """Charset sniff for crawl payloads — the decode-decision step a
+    Common-Crawl pipeline runs before text extraction. Deterministic
+    rule ladder (first match wins):
+
+    - UTF-8 BOM (EF BB BF)            -> "utf-8-bom"
+    - UTF-16 LE/BE BOM (FF FE/FE FF)  -> "utf-16"
+    - decodes as UTF-8, all < 0x80    -> "ascii"
+    - decodes as UTF-8 w/ multibyte   -> "utf-8"
+    - anything else                   -> "latin-1" (the fallback
+      ``_decode_bytes`` also uses — every byte string decodes)
+    """
+    if buf.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-bom"
+    if buf.startswith(b"\xff\xfe") or buf.startswith(b"\xfe\xff"):
+        return "utf-16"
+    try:
+        buf.decode("utf-8")
+    except UnicodeDecodeError:
+        return "latin-1"
+    return "ascii" if all(b < 0x80 for b in buf) else "utf-8"

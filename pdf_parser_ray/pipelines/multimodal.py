@@ -795,3 +795,69 @@ def html_outlinks(sf_dir: str):
         OutlinkExtractor, batch_format="pyarrow", batch_size=128,
         concurrency=default_concurrency(),
     )
+
+
+class CharsetDetector:
+    """Charset-detection stage: each doc's text is packaged in one of
+    five deterministic encodings (by doc_id % 5: plain ASCII, UTF-8
+    with a multibyte char appended, UTF-8 with BOM, UTF-16LE with
+    BOM, latin-1 with a high byte appended) and sniffed back with
+    ``pdfcore.htmlextract.detect_charset`` — the decode-decision step
+    ahead of extraction. Emits the detected charset plus the payload
+    byte size; both are restatable in SQL from the synthesis rule
+    (the corpus text is pure ASCII, so char length == byte length)."""
+
+    _MODES = ("ascii", "utf-8", "utf-8-bom", "utf-16", "latin-1")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.htmlextract import detect_charset
+
+        ids, charsets, sizes = [], [], []
+        for d, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            mode = d % 5
+            if mode == 0:
+                payload = text.encode("ascii")
+            elif mode == 1:
+                payload = (text + "é").encode("utf-8")
+            elif mode == 2:
+                payload = b"\xef\xbb\xbf" + text.encode("utf-8")
+            elif mode == 3:
+                payload = text.encode("utf-16-le")  # BOM via prefix
+                payload = b"\xff\xfe" + payload
+            else:
+                payload = text.encode("latin-1") + b"\xe9"
+            got = detect_charset(payload)
+            if got != self._MODES[mode]:
+                raise ValueError(
+                    f"charset mismatch for doc {d}: {got} != "
+                    f"{self._MODES[mode]}"
+                )
+            ids.append(d)
+            charsets.append(got)
+            sizes.append(len(payload))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "charset": pa.array(charsets, pa.string()),
+                "payload_bytes": pa.array(sizes, pa.int64()),
+            }
+        )
+
+
+def charset_detect(sf_dir: str):
+    """Charset sniffing over the documents table (columns-pruned
+    read, actor pool)."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return ds.map_batches(
+        CharsetDetector, batch_format="pyarrow", batch_size=256,
+        concurrency=default_concurrency(),
+    )

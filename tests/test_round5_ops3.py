@@ -312,3 +312,34 @@ def test_html_outlinks_pipeline(ray_session, tmp_path):
         f"https://site{(7 + k) % 97}.example/doc/{(7 * 31 + k * 17) % 100000}"
         for k in range(3)
     ]
+
+
+# -- charset detection -------------------------------------------------------
+
+
+def test_detect_charset_ladder():
+    from pdf_parser_ray.pdfcore.htmlextract import detect_charset
+
+    assert detect_charset(b"plain ascii") == "ascii"
+    assert detect_charset("café".encode("utf-8")) == "utf-8"
+    assert detect_charset(b"\xef\xbb\xbfhi") == "utf-8-bom"
+    assert detect_charset(b"\xff\xfeh\x00") == "utf-16"
+    assert detect_charset(b"\xfe\xffh\x00") == "utf-16"
+    assert detect_charset(b"caf\xe9") == "latin-1"
+    assert detect_charset(b"") == "ascii"
+
+
+def test_charset_detect_pipeline(ray_session, tmp_path):
+    from pdf_parser_ray.pipelines import multimodal
+
+    _write_docs(tmp_path, [(i, "abc") for i in range(5)])
+    got = (
+        multimodal.charset_detect(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["charset"]) == [
+        "ascii", "utf-8", "utf-8-bom", "utf-16", "latin-1",
+    ]
+    assert list(got["payload_bytes"]) == [3, 5, 6, 8, 4]
