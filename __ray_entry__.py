@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize_thumbs": multimodal.image_resize_thumbs,
         "html_outlinks": multimodal.html_outlinks,
         "charset_detect": multimodal.charset_detect,
+        "temperature_sample": training.temperature_sample,
         # -- round-5 ops outside the 50-row window: each has a heavy
         # dedicated pytest suite (crypt/ccitt/gif/mp3/sketch) plus the
         # local full-tree oracle sweeps recorded in BASELINE.md --
@@ -1087,6 +1088,22 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[s + 1 : least(s + 64, len(t))], ' ')
                      AS chunk_text
             FROM starts
+        """,
+        # temperature (T=2) mixture resampling: keep-rate 1/isqrt(n_l)
+        # via deterministic FNV hash-thresholding
+        "temperature_sample": """
+            WITH c AS (
+              SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+            ),
+            k AS (
+              SELECT d.doc_id, d.lang, c.n, """
+        + _FNV64_SQL.replace("<S>", "CAST(d.doc_id AS VARCHAR)")
+        + """ AS h
+              FROM documents d JOIN c USING (lang)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+            FROM k
+            WHERE h % (1000 * CAST(floor(sqrt(n)) AS HUGEINT)) < 1000
         """,
         # charset sniff over five deterministic encodings; corpus text
         # is pure ASCII so char length == byte length in the size math

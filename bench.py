@@ -102,6 +102,7 @@ BENCH_QUERIES = (
     "image_resize_thumbs",
     "html_outlinks",
     "charset_detect",
+    "temperature_sample",
 )
 
 

@@ -1567,3 +1567,55 @@ def doc_chunks(sf_dir: str, chunk_size: int = 64, stride: int = 48):
         )
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def temperature_sample(sf_dir: str):
+    """Temperature-based mixture resampling (T = 2) — the multilingual
+    data-balancing step (XLM-R / mT5 style): after sampling, language
+    l's share is proportional to n_l^(1/T) instead of n_l, up-weighting
+    tail languages. Deterministic hash-thresholding keeps it exact and
+    SQL-restatable: doc survives iff
+    ``fnv1a64(str(doc_id)) % (1000 * isqrt(n_l)) < 1000``
+    — an expected keep-rate of ~1/sqrt(n_l), so kept mass per lang is
+    ~n_l / sqrt(n_l) = n_l^(1/2). ``math.isqrt`` on the Ray side and
+    ``floor(sqrt(n))`` in SQL agree exactly (IEEE sqrt is correctly
+    rounded; counts are far below the 2^52 hazard line).
+
+    Shape: pass 1 is a lang-count aggregate whose output is
+    |langs| rows (driver-sized by construction); pass 2 is a pure
+    vectorized filter — no corpus shuffle at any point."""
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import fnv1a64_of_int_strings
+
+    counts = (
+        ray.data.read_parquet(_docs(sf_dir), columns=["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    denom = {
+        r["lang"]: np.uint64(1000 * math.isqrt(int(r["n"]))) for r in counts
+    }
+
+    ds = ray.data.read_parquet(_docs(sf_dir), columns=["doc_id", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        langs = t["lang"].to_pylist()
+        h = fnv1a64_of_int_strings(ids)
+        d = np.fromiter((denom[l] for l in langs), np.uint64, len(ids))
+        mask = (h % d) < np.uint64(1000)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[mask], pa.int64()),
+                "lang": pa.array(
+                    [l for l, m in zip(langs, mask) if m], pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")

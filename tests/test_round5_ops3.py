@@ -343,3 +343,34 @@ def test_charset_detect_pipeline(ray_session, tmp_path):
         "ascii", "utf-8", "utf-8-bom", "utf-16", "latin-1",
     ]
     assert list(got["payload_bytes"]) == [3, 5, 6, 8, 4]
+
+
+# -- temperature_sample ------------------------------------------------------
+
+
+def test_temperature_sample_rule_exact(ray_session):
+    import math
+
+    from pdf_parser_ray.functions.hashing import fnv1a64_of_int_strings
+
+    got = training.temperature_sample(SF).to_pandas()
+    docs = pq.read_table(
+        SF + "/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pandas()
+    n_by_lang = docs.groupby("lang")["doc_id"].count().to_dict()
+    h = fnv1a64_of_int_strings(docs["doc_id"].to_numpy())
+    denom = docs["lang"].map(
+        {l: 1000 * math.isqrt(int(n)) for l, n in n_by_lang.items()}
+    ).to_numpy(dtype=np.uint64)
+    want = set(docs["doc_id"].to_numpy()[(h % denom) < 1000])
+    assert set(got["doc_id"]) == want
+    # the rebalancing direction: smallest lang keeps the largest share
+    keep_rate = (
+        got.groupby("lang")["doc_id"].count()
+        / pd.Series(n_by_lang)
+    ).dropna()
+    if len(keep_rate) > 1:
+        small = min(n_by_lang, key=n_by_lang.get)
+        big = max(n_by_lang, key=n_by_lang.get)
+        if small in keep_rate and big in keep_rate:
+            assert keep_rate[small] >= keep_rate[big]
