@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_outlinks": multimodal.html_outlinks,
         "charset_detect": multimodal.charset_detect,
         "temperature_sample": training.temperature_sample,
+        "embedding_quantize": similarity.embedding_quantize,
         # -- round-5 ops outside the 50-row window: each has a heavy
         # dedicated pytest suite (crypt/ccitt/gif/mp3/sketch) plus the
         # local full-tree oracle sweeps recorded in BASELINE.md --
@@ -1088,6 +1089,26 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[s + 1 : least(s + 64, len(t))], ' ')
                      AS chunk_text
             FROM starts
+        """,
+        # int8 quantization summaries; float32 -> double is exact, so
+        # both sides apply the identical half-up clamp formula
+        "embedding_quantize": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                        x -> greatest(-127, least(127,
+                             CAST(floor(x * 128 + 0.5) AS BIGINT)))) AS qs,
+                     list_filter(embedding,
+                        x -> floor(x * 128 + 0.5) < -127
+                          OR floor(x * 128 + 0.5) > 127) AS satl
+              FROM embeddings
+            )
+            SELECT vec_id,
+                   CAST(list_aggregate(qs, 'sum') AS BIGINT) AS q_sum,
+                   CAST(list_aggregate(list_transform(qs, v -> v * v),
+                        'sum') AS BIGINT) AS q_energy,
+                   CAST(len(satl) AS BIGINT) AS n_saturated
+            FROM q
         """,
         # temperature (T=2) mixture resampling: keep-rate 1/isqrt(n_l)
         # via deterministic FNV hash-thresholding

@@ -103,6 +103,7 @@ BENCH_QUERIES = (
     "html_outlinks",
     "charset_detect",
     "temperature_sample",
+    "embedding_quantize",
 )
 
 

@@ -669,3 +669,42 @@ def semantic_dedup(
         .groupby("cluster_id")
         .map_groups(cluster_dedup, batch_format="pandas")
     )
+
+
+def embedding_quantize(sf_dir: str):
+    """INT8 vector quantization — the storage/compute scale path for
+    ANN at fleet size (4x smaller vectors, integer dot products).
+    Each float32 component maps to ``clamp(floor(x * 128 + 0.5),
+    -127, 127)`` (the repo-wide half-up rule, symmetric int8 range);
+    the op emits per-vector integer summaries (sum of codes, sum of
+    squared codes = the quantized L2 energy, and the count of
+    saturated components) that the SQL oracle reproduces exactly via
+    list_transform over the same formula — float32 components are
+    exactly representable in SQL's double, so both sides quantize
+    identical inputs.
+
+    Shape: a pure vectorized map_batches over the (vec_id, embedding)
+    columns — no shuffle; at 100 TB this is the cheap preprocessing
+    pass ahead of the IVF/LSH index builds."""
+    import ray.data
+
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        q = np.floor(emb.astype(np.float64) * 128.0 + 0.5)
+        sat = (q < -127) | (q > 127)
+        q = np.clip(q, -127, 127).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "q_sum": pa.array(q.sum(axis=1), pa.int64()),
+                "q_energy": pa.array((q * q).sum(axis=1), pa.int64()),
+                "n_saturated": pa.array(
+                    sat.sum(axis=1).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")

@@ -374,3 +374,44 @@ def test_temperature_sample_rule_exact(ray_session):
         big = max(n_by_lang, key=n_by_lang.get)
         if small in keep_rate and big in keep_rate:
             assert keep_rate[small] >= keep_rate[big]
+
+
+# -- embedding_quantize ------------------------------------------------------
+
+
+def test_embedding_quantize_formula(ray_session, tmp_path):
+    from pdf_parser_ray.pipelines import similarity
+
+    emb = pa.table(
+        {
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[0.5, -0.5, 1.5], [0.0039, -0.0039, 0.99]],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+    got = (
+        similarity.embedding_quantize(str(tmp_path))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # vec 1: floor(.5*128+.5)=64; floor(-63.5)=-64 (floor is toward
+    # -inf, so half-up rounds toward +inf); 1.5*128=192 saturates
+    assert list(got.loc[0, ["q_sum", "q_energy", "n_saturated"]]) == [
+        64 - 64 + 127,
+        64 * 64 + 64 * 64 + 127 * 127,
+        1,
+    ]
+    # vec 2: exact float32 values survive the double roundtrip
+    import numpy as np
+
+    v = np.array([0.0039, -0.0039, 0.99], np.float32).astype(np.float64)
+    q = np.clip(np.floor(v * 128 + 0.5), -127, 127).astype(int)
+    assert list(got.loc[1, ["q_sum", "q_energy", "n_saturated"]]) == [
+        q.sum(),
+        (q * q).sum(),
+        0,
+    ]
